@@ -1,0 +1,28 @@
+"""deltarice-tpu: a TPU-native Delta-Rice lossless codec for int16 waveform
+data (JAX / XLA / Pallas), bitstream-compatible with HDF5 filter 32025.
+
+Capability-equivalent rebuild of david-mathews-1994/deltarice, redesigned
+TPU-first: the codec math runs as batched XLA/Pallas programs on device, the
+HDF5 integration uses direct-chunk I/O plus a native C filter plugin for
+interop with non-JAX applications.
+"""
+
+from .config import H5FILTER, RiceConfig, rice_k
+from .codec import (
+    compress,
+    decompress,
+    encode_segments,
+    decode_segments,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "H5FILTER",
+    "RiceConfig",
+    "rice_k",
+    "compress",
+    "decompress",
+    "encode_segments",
+    "decode_segments",
+]

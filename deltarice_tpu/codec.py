@@ -1,0 +1,175 @@
+"""Chunk-level Delta-Rice codec: segmentation, device encode/decode, and the
+framed byte-stream layout.
+
+Frame layout (frozen; ``writeWholeCompressedByteString`` /
+``readWholeCompressedByteString``, ``/root/reference/src/deltaRice.c:383,301``):
+
+    u32 totalSamples | { u32 nWords_i | u32 words_i[nWords_i] } x numSegments
+
+with ``numSegments = ceil(totalSamples / L)`` and the last segment holding the
+leftover samples; ``L == -1`` means one segment spanning the chunk. Words are
+little-endian uint32 on disk.
+
+TPU-first split of responsibilities:
+
+* device (jitted): pre-filter, zigzag, codeword math, bit packing/unpacking —
+  everything O(samples), batched over the segment axis (the reference's
+  OpenMP ``parallel for`` becomes the vectorized leading axis).
+* host (numpy): the variable-length framing — a ragged gather/scatter at
+  memcpy speed, the analog of the reference's serial compaction memcpy
+  (``src/deltaRice.c:427-432``) and header walk (``:319-325``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RiceConfig
+from .ops.prefilter import prefilter_decode, prefilter_encode
+from .ops.rice import codeword_lengths_values, unzigzag, zigzag
+from .ops.pack_xla import pack_bits, unpack_bits
+
+_WORD_BUCKET = 256  # decode pads segment word counts up to a multiple of this
+                    # to bound the number of distinct compiled shapes
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def encode_segments(x: jnp.ndarray, nvalid: jnp.ndarray, cfg: RiceConfig,
+                    max_words: int, method: str = "segsum"):
+    """Encode padded segments.
+
+    Args:
+      x: (num_segments, L) int16, zero-padded past each segment's nvalid.
+      nvalid: (num_segments,) int32 valid sample counts.
+      cfg: codec parameters (static).
+      max_words: static packed-words bound, >= cfg.max_words(L).
+
+    Returns:
+      (words (num_segments, max_words) uint32, nwords (num_segments,) int32)
+    """
+    d = prefilter_encode(x, cfg.filt)
+    u = zigzag(d)
+    lens, vals = codeword_lengths_values(u, cfg.k)
+    mask = jnp.arange(x.shape[-1], dtype=jnp.int32)[None, :] < nvalid[:, None]
+    lens = jnp.where(mask, lens, 0)
+    return pack_bits(lens, vals, max_words, method)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def decode_segments(words: jnp.ndarray, n_samples: int, cfg: RiceConfig):
+    """Decode per-segment word streams back to int16 samples.
+
+    words: (num_segments, W) uint32 with at least one zero pad word per row.
+    Returns (num_segments, n_samples) int16 (tail of short segments is
+    garbage; callers slice by true counts).
+    """
+    u = unpack_bits(words, n_samples, cfg.k)
+    return prefilter_decode(unzigzag(u), cfg.filt)
+
+
+def _segment_layout(total: int, cfg: RiceConfig):
+    nseg, length, leftover = cfg.segments(total)
+    nvalid = np.full(nseg, length, dtype=np.int32)
+    if leftover:
+        nvalid[-1] = leftover
+    return nseg, length, nvalid
+
+
+def compress(data, cfg: RiceConfig = RiceConfig(), method: str = "segsum") -> bytes:
+    """Compress one chunk of int16 samples to the framed byte stream.
+
+    ``data`` may be an int16 array, any 2-byte-item array (viewed as int16,
+    matching the filter's type punning), or raw bytes of even length.
+    """
+    x = as_int16(data).ravel()
+    total = x.size
+    nseg, length, nvalid = _segment_layout(total, cfg)
+    padded = np.zeros((nseg, length), dtype=np.int16)
+    padded.ravel()[:total] = x
+    words, nwords = encode_segments(
+        jnp.asarray(padded), jnp.asarray(nvalid), cfg, cfg.max_words(length), method
+    )
+    return frame_stream(total, np.asarray(words), np.asarray(nwords))
+
+
+def decompress(stream, cfg: RiceConfig = RiceConfig()) -> np.ndarray:
+    """Decompress a framed byte stream back to a flat int16 array."""
+    buf = np.frombuffer(memoryview(stream), dtype="<u4")
+    total = int(buf[0])
+    nseg, length, nvalid = _segment_layout(total, cfg)
+    counts, starts = walk_headers(buf, nseg)
+    words = gather_segments(buf, counts, starts)
+    out = decode_segments(jnp.asarray(words), length, cfg)
+    return np.asarray(out).ravel()[:total].copy()
+
+
+def as_int16(data) -> np.ndarray:
+    """View input as int16 samples (the filter compresses raw bytes in
+    2-byte units regardless of the declared dtype)."""
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        arr = np.frombuffer(data, dtype=np.uint8)
+        if arr.size % 2:
+            raise ValueError(f"input size not divisible by two: {arr.size}")
+        return arr.view(np.int16)
+    arr = np.asarray(data)
+    if arr.dtype.itemsize == 2:
+        return arr.view(np.int16)
+    raw = arr.tobytes()
+    if len(raw) % 2:
+        raise ValueError(f"input size not divisible by two: {len(raw)}")
+    return np.frombuffer(raw, dtype=np.int16)
+
+
+def frame_stream(total: int, words: np.ndarray, nwords: np.ndarray) -> bytes:
+    """Assemble the framed chunk from padded per-segment words (host side)."""
+    counts = nwords.astype(np.int64)
+    nseg = counts.shape[0]
+    word_start = np.zeros(nseg + 1, dtype=np.int64)
+    np.cumsum(counts, out=word_start[1:])
+    total_words = int(word_start[-1])
+    out = np.empty(1 + nseg + total_words, dtype="<u4")
+    out[0] = total
+    pos = 1 + np.arange(nseg, dtype=np.int64) + word_start[:-1]
+    out[pos] = counts
+    seg_of = np.repeat(np.arange(nseg, dtype=np.int64), counts)
+    within = np.arange(total_words, dtype=np.int64) - np.repeat(word_start[:-1], counts)
+    out[np.repeat(pos + 1, counts) + within] = words[seg_of, within]
+    return out.tobytes()
+
+
+def walk_headers(buf: np.ndarray, nseg: int):
+    """Serial header walk: per-segment (word count, first-word offset).
+
+    Mirrors the reference's start-location scan (``src/deltaRice.c:319-325``);
+    each segment's length header can only be found after the previous one.
+    """
+    counts = np.empty(nseg, dtype=np.int64)
+    starts = np.empty(nseg, dtype=np.int64)
+    pos = 1
+    for i in range(nseg):
+        starts[i] = pos
+        c = int(buf[pos])
+        counts[i] = c
+        pos += c + 1
+    if pos > buf.size:
+        raise ValueError("truncated Delta-Rice stream")
+    return counts, starts
+
+
+def gather_segments(buf: np.ndarray, counts: np.ndarray, starts: np.ndarray,
+                    bucket: int = _WORD_BUCKET) -> np.ndarray:
+    """Scatter the ragged per-segment words into a padded dense matrix."""
+    nseg = counts.shape[0]
+    maxw = int(counts.max(initial=0)) + 1  # +1 pad word for the 64-bit window
+    maxw = -(-maxw // bucket) * bucket
+    words = np.zeros((nseg, maxw), dtype=np.uint32)
+    seg_of = np.repeat(np.arange(nseg, dtype=np.int64), counts)
+    within = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    words[seg_of, within] = buf[np.repeat(starts + 1, counts) + within]
+    return words
