@@ -83,6 +83,28 @@ class ReferenceOracle:
             ctypes.POINTER(ctypes.c_void_p),
         ]
 
+    @staticmethod
+    def compress_is_safe(n_samples: int, waveform_length: int) -> bool:
+        """Whether the reference's compress-side buffer math cannot overflow.
+
+        The reference allocates ``nbytes*2 + numWaves + 1`` *bytes*
+        (``src/deltaRice.c:411-412``) but its OpenMP scratch layout places
+        wave i at uint32 offset ``i*wavelength + i + 1`` (``:421``), so small
+        chunks and short leftover segments overrun the heap. Tests must not
+        drive the oracle into that UB; this reproduces the exact bound with
+        the worst-case 25-bit-per-sample output size.
+        """
+        n = int(n_samples)
+        length = n if waveform_length == -1 else int(waveform_length)
+        nwaves = n // length
+        leftover = n - nwaves * length
+        if leftover:
+            nwaves += 1
+        last_len = leftover or length
+        have_bytes = 4 * n + nwaves + 1
+        scratch_end_words = (nwaves - 1) * (length + 1) + 2 + (25 * last_len + 31) // 32
+        return 4 * scratch_end_words <= have_bytes
+
     def _run(self, fn, payload: bytes, cd_values, nbytes_ctype):
         cd = np.asarray(cd_values, dtype=np.uint32)
         cd_arr = (ctypes.c_uint * max(len(cd), 1))(*cd.tolist())
