@@ -151,6 +151,8 @@ def walk_headers(buf: np.ndarray, nseg: int):
     starts = np.empty(nseg, dtype=np.int64)
     pos = 1
     for i in range(nseg):
+        if pos >= buf.size:
+            raise ValueError("truncated Delta-Rice stream")
         starts[i] = pos
         c = int(buf[pos])
         counts[i] = c

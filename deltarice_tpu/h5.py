@@ -1,0 +1,139 @@
+"""HDF5 integration via direct-chunk I/O.
+
+The reference ships an HDF5 *filter* (ID 32025) that libhdf5 invokes once per
+chunk inside H5Dread/H5Dwrite (``/root/reference/src/deltaRice.c:468-501``).
+TPU-natively we invert that control flow: h5py's direct-chunk API
+(``write_direct_chunk`` / ``read_direct_chunk``) moves raw compressed bytes
+between the file and the application, the device codec runs *outside*
+libhdf5 on batches of chunks, and the dataset still carries filter ID 32025
+plus the ``cd_values`` config in its creation property list — so files
+written here are bit-compatible with the stock ``deltarice`` plugin and
+vice versa.
+
+Chunk semantics match the filter pipeline: every stored chunk is full-size;
+edge chunks are padded with the dataset fill value (zeros), compressed
+whole, and sliced after decode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import codec
+from .config import H5FILTER, RiceConfig
+
+
+def _require_h5py():
+    try:
+        import h5py
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError("h5py is required for deltarice_tpu.h5") from e
+    return h5py
+
+
+def _chunk_grid(shape, chunks):
+    """Yield (grid_index, offset) for every chunk of a dataset."""
+    import itertools
+
+    counts = [-(-s // c) for s, c in zip(shape, chunks)]
+    for idx in itertools.product(*(range(n) for n in counts)):
+        yield idx, tuple(i * c for i, c in zip(idx, chunks))
+
+
+def dataset_config(dset) -> RiceConfig:
+    """Recover the codec config from a dataset's filter pipeline."""
+    plist = dset.id.get_create_plist()
+    for i in range(plist.get_nfilters()):
+        code, _flags, cd_values, _name = plist.get_filter(i)
+        if code == H5FILTER:
+            return RiceConfig.from_cd_values(cd_values)
+    raise ValueError(
+        f"dataset {dset.name!r} has no deltarice filter (id {H5FILTER})"
+    )
+
+
+def create_dataset(group, name, shape, cfg: RiceConfig | None = None,
+                   chunks=None, dtype="<i2", **kwds):
+    """Create a chunked dataset tagged with the deltarice filter.
+
+    The README constrains chunks to ``(rows, waveform_length)`` for 2-D data
+    (``/root/reference/README.md:60``); here any chunk shape works as long as
+    ``cfg.waveform_length`` matches the intended segmenting. If ``cfg`` has
+    ``waveform_length == -1`` each whole chunk is one segment.
+    """
+    cfg = cfg or RiceConfig()
+    if chunks is None:
+        if len(shape) == 2 and cfg.waveform_length not in (-1, 0):
+            rows = max(1, min(shape[0], 32))
+            chunks = (rows, shape[1])
+        else:
+            chunks = tuple(shape)
+    return group.create_dataset(
+        name,
+        shape=shape,
+        dtype=dtype,
+        chunks=tuple(chunks),
+        compression=H5FILTER,
+        compression_opts=tuple(cfg.to_cd_values()),
+        allow_unknown_filter=True,
+        **kwds,
+    )
+
+
+def write_dataset(group, name, data, cfg: RiceConfig | None = None,
+                  chunks=None, method: str = "segsum"):
+    """Create + fill a dataset by compressing chunks on device and writing
+    the raw streams with ``write_direct_chunk`` (libhdf5 runs no filter)."""
+    data = np.asarray(data)
+    cfg = cfg or RiceConfig()
+    dset = create_dataset(
+        group, name, data.shape, cfg, chunks, dtype=data.dtype
+    )
+    chunk_shape = dset.chunks
+    for _idx, off in _chunk_grid(data.shape, chunk_shape):
+        sel = tuple(
+            slice(o, min(o + c, s))
+            for o, c, s in zip(off, chunk_shape, data.shape)
+        )
+        block = data[sel]
+        if block.shape != chunk_shape:  # edge chunk: zero-pad to full size
+            full = np.zeros(chunk_shape, dtype=data.dtype)
+            full[tuple(slice(0, b) for b in block.shape)] = block
+            block = full
+        dset.id.write_direct_chunk(off, codec.compress(block, cfg, method))
+    return dset
+
+
+def read_dataset(dset, cfg: RiceConfig | None = None) -> np.ndarray:
+    """Read a deltarice-compressed dataset without running the HDF5 filter:
+    raw chunk streams come back via ``read_direct_chunk`` and decode on
+    device. Works on files written by the reference plugin too."""
+    cfg = cfg or dataset_config(dset)
+    shape = dset.shape
+    chunk_shape = dset.chunks
+    out = np.empty(shape, dtype=dset.dtype)
+    itemsize = np.dtype(dset.dtype).itemsize
+    nsamp16 = int(np.prod(chunk_shape)) * itemsize // 2
+    for _idx, off in _chunk_grid(shape, chunk_shape):
+        _mask, blob = dset.id.read_direct_chunk(off)
+        flat = codec.decompress(blob, cfg)
+        if flat.size != nsamp16:
+            raise ValueError(
+                f"chunk at {off}: expected {nsamp16} samples, got {flat.size}"
+            )
+        block = flat.view(dset.dtype).reshape(chunk_shape)
+        sel = tuple(
+            slice(o, min(o + c, s)) for o, c, s in zip(off, chunk_shape, shape)
+        )
+        out[sel] = block[tuple(slice(0, s.stop - s.start) for s in sel)]
+    return out
+
+
+def register_h5_filter() -> bool:
+    """Register the native C filter (if built) into h5py's HDF5, so plain
+    ``h5py`` reads/writes of deltarice datasets work through the standard
+    filter pipeline. Mirrors ``deltaRice.h5.register_h5_filter``
+    (``/root/reference/src/h5.pyx:55-61``). Returns True on success."""
+    from .native import register_with_h5py
+
+    return register_with_h5py()

@@ -1,0 +1,64 @@
+"""Native (C) interop components.
+
+The reference's HDF5-facing adapters are native C (`H5Z` filter class,
+dynamic plugin shim, dlopen symbol loader — ``/root/reference/src/
+deltaRice.c:468-501``, ``deltaRice_h5plugin.c``, ``hdf5_dl.c``). This package
+holds their TPU-framework equivalents: a from-scratch C implementation of
+the Delta-Rice filter (ID 32025) that registers into the process's HDF5 so
+*any* HDF5 application — including plain h5py without this package's direct-
+chunk path — can read and write our files through the standard filter
+pipeline.
+
+Build: ``python -m deltarice_tpu.native.build`` (or ``make -C
+deltarice_tpu/native``). The shared library lands in
+``deltarice_tpu/native/lib/``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+
+_LIB_DIR = Path(__file__).resolve().parent / "lib"
+_LIB_NAME = "libh5deltarice_tpu.so"
+
+
+def library_path() -> Path:
+    return _LIB_DIR / _LIB_NAME
+
+
+def is_built() -> bool:
+    return library_path().is_file()
+
+
+def build(verbose: bool = False) -> Path:
+    """Compile the native filter library (idempotent)."""
+    from .build import build_library
+
+    return build_library(verbose=verbose)
+
+
+def register_with_h5py() -> bool:
+    """Load the native filter and register it into h5py's HDF5.
+
+    The C library resolves HDF5 symbols from the already-loaded h5py
+    extension modules at runtime (same design point as the reference's
+    ``hdf5_dl.c:194-267``, re-implemented from scratch), so no HDF5
+    development install is needed. Returns True if registration succeeded.
+    """
+    if not is_built():
+        try:
+            build()
+        except Exception:
+            return False
+    try:
+        import h5py  # ensures libhdf5 symbols are present in the process
+    except ImportError:
+        return False
+    try:
+        lib = ctypes.CDLL(str(library_path()), mode=ctypes.RTLD_GLOBAL)
+        rc = lib.deltarice_tpu_register()
+        return rc >= 0
+    except OSError:
+        return False

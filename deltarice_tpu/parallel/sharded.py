@@ -1,0 +1,152 @@
+"""Chunk-level data parallelism over a ``jax.sharding.Mesh``.
+
+Each HDF5 chunk is an independent bitstream (the format guarantees it:
+``writeWholeCompressedByteString`` frames every chunk standalone,
+``/root/reference/src/deltaRice.c:383-465``), so the natural TPU scaling
+strategy is pure data parallelism: a batch of chunks shards across the
+``"chunks"`` mesh axis, every device encodes/decodes its local chunks with
+the same jitted kernels used on one chip, and no collective is needed until
+the host gathers compressed bytes for the file writer.
+
+Within a device, the reference's OpenMP ``parallel for`` over waveform
+segments (``src/deltaRice.c:417-426``) is already the vectorized segment
+axis of the kernels — so the two parallelism levels compose as
+``(chunks-on-mesh, segments-on-vector-lanes)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import RiceConfig
+from ..ops.prefilter import prefilter_decode, prefilter_encode
+from ..ops.rice import codeword_lengths_values, unzigzag, zigzag
+from ..ops.pack_xla import pack_bits, unpack_bits
+
+CHUNK_AXIS = "chunks"
+
+
+def chunk_mesh(devices=None, axis_name: str = CHUNK_AXIS) -> Mesh:
+    """1-D mesh over all (or the given) devices, chunk-data-parallel."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _encode_local(x, nvalid, cfg: RiceConfig, max_words: int, method: str):
+    """Encode a local (C, S, L) batch of chunks; same math as
+    :func:`deltarice_tpu.codec.encode_segments`, batched over chunks."""
+    c, s, length = x.shape
+    flat = x.reshape(c * s, length)
+    d = prefilter_encode(flat, cfg.filt)
+    u = zigzag(d)
+    lens, vals = codeword_lengths_values(u, cfg.k)
+    mask = jnp.arange(length, dtype=jnp.int32)[None, :] < nvalid.reshape(-1, 1)
+    lens = jnp.where(mask, lens, 0)
+    words, nwords = pack_bits(lens, vals, max_words, method)
+    return words.reshape(c, s, max_words), nwords.reshape(c, s)
+
+
+def _decode_local(words, n_samples: int, cfg: RiceConfig):
+    c, s, w = words.shape
+    u = unpack_bits(words.reshape(c * s, w), n_samples, cfg.k)
+    out = prefilter_decode(unzigzag(u), cfg.filt)
+    return out.reshape(c, s, n_samples)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_words", "method", "axis_name", "mesh")
+)
+def encode_chunks_sharded(
+    batch: jnp.ndarray,
+    nvalid: jnp.ndarray,
+    cfg: RiceConfig,
+    mesh: Mesh,
+    max_words: int,
+    method: str = "segsum",
+    axis_name: str = CHUNK_AXIS,
+):
+    """Encode a (num_chunks, segments, L) int16 batch sharded over the mesh.
+
+    ``num_chunks`` must divide evenly over the mesh axis (pad with empty
+    chunks — ``nvalid == 0`` — to round up). Returns sharded
+    ``words (C, S, max_words)`` and ``nwords (C, S)``.
+    """
+    spec = P(axis_name)
+    fn = jax.shard_map(
+        lambda x, nv: _encode_local(x, nv, cfg, max_words, method),
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec),
+        check_vma=False,
+    )
+    return fn(batch, nvalid)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_samples", "axis_name", "mesh")
+)
+def decode_chunks_sharded(
+    words: jnp.ndarray,
+    n_samples: int,
+    cfg: RiceConfig,
+    mesh: Mesh,
+    axis_name: str = CHUNK_AXIS,
+):
+    """Decode a (num_chunks, segments, W) uint32 batch sharded over the mesh."""
+    spec = P(axis_name)
+    fn = jax.shard_map(
+        lambda w: _decode_local(w, n_samples, cfg),
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return fn(words)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_words", "axis_name", "mesh")
+)
+def roundtrip_check_step(
+    batch: jnp.ndarray,
+    nvalid: jnp.ndarray,
+    cfg: RiceConfig,
+    mesh: Mesh,
+    max_words: int,
+    axis_name: str = CHUNK_AXIS,
+):
+    """Full sharded encode → decode → verify step (the codec's analog of a
+    "training step" for multi-chip validation).
+
+    Returns (words, nwords, mismatches) where ``mismatches`` is the global
+    count of samples that failed to round-trip (psum over the mesh).
+    """
+    spec = P(axis_name)
+
+    def local(x, nv):
+        words, nwords = _encode_local(x, nv, cfg, max_words, "segsum")
+        out = _decode_local(words, x.shape[-1], cfg)
+        mask = (
+            jnp.arange(x.shape[-1], dtype=jnp.int32)[None, None, :]
+            < nv[..., None]
+        )
+        bad = jnp.sum(jnp.where(mask, out != x, False).astype(jnp.int32))
+        return words, nwords, jax.lax.psum(bad, axis_name)
+
+    fn = jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec), out_specs=(spec, spec, P()),
+        check_vma=False,
+    )
+    return fn(batch, nvalid)
+
+
+def put_sharded(batch: np.ndarray, mesh: Mesh, axis_name: str = CHUNK_AXIS):
+    """Device-put a host chunk batch with the leading axis sharded."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.device_put(batch, sharding)
