@@ -7,8 +7,14 @@ Baseline: the reference C filter's best published single-CPU numbers
 (Threadripper 5955WX, 32 threads, Nab dataset: write 2.387 GB/s, read
 1.782 GB/s — docs/Performance.md:24-25). We report the harmonic mean of
 encode and decode device throughput on Nab-shaped data (int16 waveforms,
-sigma~10 Gaussian deltas, M=8, L=7000) and compare against the harmonic
-mean of the reference pair (2.041 GB/s).
+sigma~10 Gaussian deltas, M=8, L=7000) vs the harmonic mean of the
+reference pair (2.041 GB/s).
+
+Timing methodology: this environment reaches the TPU through a relay whose
+host<->device synchronization costs ~30 ms flat, and ``block_until_ready``
+does not always actually synchronize. Each measurement therefore times N
+queued dispatches bracketed by one forced scalar readback, subtracts the
+independently measured sync-only cost, and divides by N.
 """
 
 from __future__ import annotations
@@ -27,40 +33,57 @@ from deltarice_tpu.config import RiceConfig
 BASELINE_GBPS = 2.0 / (1.0 / 2.387 + 1.0 / 1.782)  # harmonic mean ref w/r
 
 
-def _timeit(fn, *args, warmup=2, iters=10):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+def _sync(x) -> float:
+    return float(jnp.sum(x[0] if isinstance(x, (tuple, list)) else x)[()])
+
+
+def _sync_cost(iters: int = 10) -> float:
+    tiny = jnp.ones((8, 128), jnp.int32)
+    f = jax.jit(lambda a: jnp.sum(a))
+    float(f(tiny)[()])
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        float(f(tiny)[()])
     return (time.perf_counter() - t0) / iters
 
 
+def _timeit(fn, *args, iters: int = 20, sync_cost: float = 0.0):
+    _sync(fn(*args))  # warmup/compile
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    _sync(outs[-1])
+    dt = time.perf_counter() - t0 - sync_cost
+    del outs
+    return max(dt, 1e-9) / iters
+
+
 def main():
-    cfg = RiceConfig(8, 7000)
-    nseg, length = 512, 7000  # ~7.2 MB of int16 per batch
+    nseg, length = 1024, 7000  # ~14.3 MB of int16 per batch
+    cfg = RiceConfig(8, length)
     rng = np.random.default_rng(0)
     x = np.cumsum(
         np.round(rng.normal(0, 10, (nseg, length))), axis=-1
     ).astype(np.int16)
     nbytes = x.nbytes
 
+    sync_cost = _sync_cost()
+
     xd = jnp.asarray(x)
     nvalid = jnp.full((nseg,), length, dtype=jnp.int32)
     max_words = cfg.max_words(length)
 
-    enc = lambda a, b: encode_segments(a, b, cfg, max_words, "segsum")
-    t_enc = _timeit(enc, xd, nvalid)
-    words, nwords = jax.block_until_ready(enc(xd, nvalid))
+    enc = lambda a, b: encode_segments(a, b, cfg, max_words, "auto")
+    t_enc = _timeit(enc, xd, nvalid, sync_cost=sync_cost)
+    words, nwords = enc(xd, nvalid)
+    jax.block_until_ready((words, nwords))
 
     # decode from a tighter padded width (what the real reader builds)
     w = int(np.asarray(nwords).max()) + 1
     w = -(-w // 256) * 256
     words_in = jnp.asarray(np.asarray(words)[:, :w])
-    dec = lambda a: decode_segments(a, length, cfg)
-    t_dec = _timeit(dec, words_in)
-    out = np.asarray(jax.block_until_ready(dec(words_in)))
+    dec = lambda a: decode_segments(a, length, cfg, "auto")
+    t_dec = _timeit(dec, words_in, sync_cost=sync_cost)
+    out = np.asarray(dec(words_in))
     assert np.array_equal(out, x), "round-trip failed in bench"
 
     enc_gbps = nbytes / t_enc / 1e9
@@ -78,6 +101,8 @@ def main():
                     "decode_GBps": round(dec_gbps, 3),
                     "platform": jax.devices()[0].platform,
                     "baseline_GBps": round(BASELINE_GBPS, 3),
+                    "sync_cost_ms": round(sync_cost * 1e3, 2),
+                    "batch": [nseg, length],
                 },
             }
         )

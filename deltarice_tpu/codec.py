@@ -32,24 +32,20 @@ from .config import RiceConfig
 from .ops.prefilter import prefilter_decode, prefilter_encode
 from .ops.rice import codeword_lengths_values, unzigzag, zigzag
 from .ops.pack_xla import pack_bits, unpack_bits
+from .ops.unpack_pallas import pallas_decode_supported, unpack_decode_pallas
 
 _WORD_BUCKET = 256  # decode pads segment word counts up to a multiple of this
                     # to bound the number of distinct compiled shapes
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def encode_segments(x: jnp.ndarray, nvalid: jnp.ndarray, cfg: RiceConfig,
-                    max_words: int, method: str = "segsum"):
-    """Encode padded segments.
+def _encode_segments_xla(x: jnp.ndarray, nvalid: jnp.ndarray,
+                         cfg: RiceConfig, max_words: int,
+                         method: str = "segsum"):
+    """Pure-XLA encode path (prefix-sum + boundary-gather packing).
 
-    Args:
-      x: (num_segments, L) int16, zero-padded past each segment's nvalid.
-      nvalid: (num_segments,) int32 valid sample counts.
-      cfg: codec parameters (static).
-      max_words: static packed-words bound, >= cfg.max_words(L).
-
-    Returns:
-      (words (num_segments, max_words) uint32, nwords (num_segments,) int32)
+    Shape-agnostic and correct everywhere; on TPU its gathers are slow, so
+    it serves as the CPU/mesh path and the kernel's correctness oracle.
     """
     d = prefilter_encode(x, cfg.filt)
     u = zigzag(d)
@@ -59,16 +55,65 @@ def encode_segments(x: jnp.ndarray, nvalid: jnp.ndarray, cfg: RiceConfig,
     return pack_bits(lens, vals, max_words, method)
 
 
+def encode_segments(x: jnp.ndarray, nvalid: jnp.ndarray, cfg: RiceConfig,
+                    max_words: int, method: str = "auto"):
+    """Encode padded segments.
+
+    Args:
+      x: (num_segments, L) int16, zero-padded past each segment's nvalid.
+      nvalid: (num_segments,) int32 valid sample counts.
+      cfg: codec parameters (static).
+      max_words: static packed-words bound, >= cfg.max_words(L).
+      method: "pallas" (fused TPU kernel), "segsum"/"scatter" (XLA), or
+        "auto" (pallas on TPU, segsum elsewhere).
+
+    Returns:
+      (words (num_segments, max_words) uint32, nwords (num_segments,) int32)
+    """
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "segsum"
+    if method == "pallas":
+        from .ops.pack_pallas import pack_encode_pallas
+
+        if cfg.is_delta:
+            return pack_encode_pallas(x, nvalid, cfg.k, max_words, True)
+        d = prefilter_encode(x, cfg.filt)
+        return pack_encode_pallas(d, nvalid, cfg.k, max_words, False)
+    return _encode_segments_xla(x, nvalid, cfg, max_words, method)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
-def decode_segments(words: jnp.ndarray, n_samples: int, cfg: RiceConfig):
+def _decode_segments_scan(words: jnp.ndarray, n_samples: int, cfg: RiceConfig):
+    """Reference XLA path: per-sample ``lax.scan`` bit cursor (slow on TPU
+    but shape-agnostic; used on CPU and as the kernel's correctness
+    oracle)."""
+    u = unpack_bits(words, n_samples, cfg.k)
+    return prefilter_decode(unzigzag(u), cfg.filt)
+
+
+def decode_segments(words: jnp.ndarray, n_samples: int, cfg: RiceConfig,
+                    backend: str = "auto"):
     """Decode per-segment word streams back to int16 samples.
 
     words: (num_segments, W) uint32 with at least one zero pad word per row.
     Returns (num_segments, n_samples) int16 (tail of short segments is
     garbage; callers slice by true counts).
+
+    backend: "pallas" (word-synchronous TPU kernel), "scan" (XLA
+    per-sample scan), or "auto" (pallas on TPU when the shape fits VMEM).
     """
-    u = unpack_bits(words, n_samples, cfg.k)
-    return prefilter_decode(unzigzag(u), cfg.filt)
+    if backend == "auto":
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and pallas_decode_supported(words.shape[-1], cfg.k)
+        )
+        backend = "pallas" if use_pallas else "scan"
+    if backend == "pallas":
+        out = unpack_decode_pallas(words, n_samples, cfg.k, cfg.is_delta)
+        if cfg.is_delta:
+            return out
+        return prefilter_decode(out, cfg.filt)
+    return _decode_segments_scan(words, n_samples, cfg)
 
 
 def _segment_layout(total: int, cfg: RiceConfig):
@@ -79,7 +124,7 @@ def _segment_layout(total: int, cfg: RiceConfig):
     return nseg, length, nvalid
 
 
-def compress(data, cfg: RiceConfig = RiceConfig(), method: str = "segsum") -> bytes:
+def compress(data, cfg: RiceConfig = RiceConfig(), method: str = "auto") -> bytes:
     """Compress one chunk of int16 samples to the framed byte stream.
 
     ``data`` may be an int16 array, any 2-byte-item array (viewed as int16,
@@ -96,14 +141,15 @@ def compress(data, cfg: RiceConfig = RiceConfig(), method: str = "segsum") -> by
     return frame_stream(total, np.asarray(words), np.asarray(nwords))
 
 
-def decompress(stream, cfg: RiceConfig = RiceConfig()) -> np.ndarray:
+def decompress(stream, cfg: RiceConfig = RiceConfig(),
+               backend: str = "auto") -> np.ndarray:
     """Decompress a framed byte stream back to a flat int16 array."""
     buf = np.frombuffer(memoryview(stream), dtype="<u4")
     total = int(buf[0])
     nseg, length, nvalid = _segment_layout(total, cfg)
     counts, starts = walk_headers(buf, nseg)
     words = gather_segments(buf, counts, starts)
-    out = decode_segments(jnp.asarray(words), length, cfg)
+    out = decode_segments(jnp.asarray(words), length, cfg, backend)
     return np.asarray(out).ravel()[:total].copy()
 
 

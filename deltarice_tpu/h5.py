@@ -81,7 +81,7 @@ def create_dataset(group, name, shape, cfg: RiceConfig | None = None,
 
 
 def write_dataset(group, name, data, cfg: RiceConfig | None = None,
-                  chunks=None, method: str = "segsum"):
+                  chunks=None, method: str = "auto"):
     """Create + fill a dataset by compressing chunks on device and writing
     the raw streams with ``write_direct_chunk`` (libhdf5 runs no filter)."""
     data = np.asarray(data)

@@ -1,0 +1,100 @@
+"""Dataset profiles for the experiments published with the reference.
+
+Numbers come from ``/root/reference/docs/Performance.md`` (sizes,
+throughputs, waveform lengths) and ``paper/paper.md`` (detector
+descriptions). Synthetic generators approximate each family's waveform
+statistics closely enough to reproduce published compressed-size ratios to
+within a few percent — good for benchmarking, not physics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+
+from ..config import RiceConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetProfile:
+    """One experiment family's waveform geometry + codec parameters."""
+
+    name: str
+    waveform_length: int
+    rice_m: int
+    #: published compressed size as a fraction of raw (docs/Performance.md)
+    published_ratio: float
+    #: rough per-sample noise scale driving the synthetic generator
+    noise_sigma: float
+    description: str
+
+    @property
+    def config(self) -> RiceConfig:
+        return RiceConfig(self.rice_m, self.waveform_length)
+
+    def synthetic(self, n_waveforms: int, seed: int = 0,
+                  length: int | None = None) -> np.ndarray:
+        """(n_waveforms, L) int16 synthetic waveforms for benchmarks."""
+        length = length or self.waveform_length
+        rng = np.random.default_rng(seed)
+        noise = rng.normal(0.0, self.noise_sigma, (n_waveforms, length))
+        base = np.cumsum(np.round(noise), axis=-1)  # random-walk baseline
+        # occasional detector pulses: exponential-decay bumps
+        n_pulses = max(1, length // 2000)
+        t = np.arange(length)
+        for i in range(n_waveforms):
+            for _ in range(rng.integers(0, n_pulses + 1)):
+                t0 = rng.integers(0, length)
+                amp = rng.uniform(200, 4000)
+                tau = rng.uniform(50, 400)
+                base[i] += amp * np.exp(-np.maximum(t - t0, 0) / tau) * (
+                    t >= t0
+                )
+        return np.clip(base, -32768, 32767).astype(np.int16)
+
+
+PROFILES: dict[str, DatasetProfile] = {
+    "nab": DatasetProfile(
+        name="nab",
+        waveform_length=7000,
+        rice_m=8,
+        published_ratio=0.29,
+        noise_sigma=10.0,
+        description=(
+            "Nab neutron-decay Si-detector DAQ, 14-bit digitizers in "
+            "int16; the codec's home experiment (docs/Performance.md:14-25)"
+        ),
+    ),
+    "nedm": DatasetProfile(
+        name="nedm",
+        waveform_length=16384,
+        rice_m=16,
+        published_ratio=0.27,
+        noise_sigma=16.0,
+        description=(
+            "nEDM@SNS light-collection test DAQ (docs/Performance.md:29-36)"
+        ),
+    ),
+    "noptrex": DatasetProfile(
+        name="noptrex",
+        waveform_length=500000,
+        rice_m=8,
+        published_ratio=0.25,
+        noise_sigma=8.0,
+        description=(
+            "NOPTREX resonance-spectroscopy long waveforms, 500k samples "
+            "(docs/Performance.md:38-47)"
+        ),
+    ),
+}
+
+
+def get_profile(name: str) -> DatasetProfile:
+    try:
+        return PROFILES[name.lower()]
+    except KeyError:
+        raise KeyError(
+            f"unknown profile {name!r}; available: {sorted(PROFILES)}"
+        ) from None

@@ -58,7 +58,26 @@ def register_with_h5py() -> bool:
         return False
     try:
         lib = ctypes.CDLL(str(library_path()), mode=ctypes.RTLD_GLOBAL)
+        for hdf5 in _candidate_hdf5_libs(h5py):
+            if lib.dr_h5_init_from(hdf5.encode()) == 0:
+                break
         rc = lib.deltarice_tpu_register()
         return rc >= 0
     except OSError:
         return False
+
+
+def _candidate_hdf5_libs(h5py) -> list[str]:
+    """Shared libraries that may export the HDF5 API in an h5py install:
+    the wheel-bundled libhdf5 (manylinux ``h5py.libs``) or, for
+    system-linked builds, h5py's own extension modules (which re-export
+    through their DT_NEEDED libhdf5)."""
+    import glob
+
+    root = Path(h5py.__file__).resolve().parent
+    cands: list[str] = []
+    for pat in ("../h5py.libs/libhdf5*.so*", "../h5py.libs/libhdf5*"):
+        cands.extend(sorted(glob.glob(str(root / pat))))
+    cands.extend(sorted(glob.glob(str(root / "defs*.so"))))
+    cands.extend(sorted(glob.glob(str(root / "h5z*.so"))))
+    return cands

@@ -1,0 +1,327 @@
+/* Delta-Rice chunk codec — see dr_codec.h for the design notes. */
+
+#include "dr_codec.h"
+
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+/* ------------------------------------------------------------------ */
+/* configuration                                                      */
+/* ------------------------------------------------------------------ */
+
+int dr_config_parse(size_t cd_nelmts, const unsigned *cd_values,
+                    dr_config *cfg) {
+  cfg->m = 8;
+  cfg->seg_len = -1;
+  cfg->filt = NULL;
+  cfg->filt_len = 0;
+  if (cd_nelmts >= 1) cfg->m = cd_values[0];
+  if (cd_nelmts >= 2) cfg->seg_len = (int32_t)cd_values[1];
+  if (cfg->m == 0 || (cfg->m & (cfg->m - 1)) != 0) {
+    fprintf(stderr, "deltarice_tpu: M=%u is not a power of two\n", cfg->m);
+    return -1;
+  }
+  cfg->k = 0;
+  for (uint32_t v = cfg->m; v > 1; v >>= 1) cfg->k++;
+  if (cd_nelmts >= 3) {
+    size_t nf = cd_values[2];
+    if (nf == 0 || cd_nelmts < 3 + nf) {
+      fprintf(stderr, "deltarice_tpu: bad filter spec in cd_values\n");
+      return -1;
+    }
+    cfg->filt = (int32_t *)malloc(nf * sizeof(int32_t));
+    if (!cfg->filt) return -1;
+    for (size_t i = 0; i < nf; i++) cfg->filt[i] = (int32_t)cd_values[3 + i];
+    cfg->filt_len = nf;
+  } else {
+    cfg->filt = (int32_t *)malloc(2 * sizeof(int32_t));
+    if (!cfg->filt) return -1;
+    cfg->filt[0] = 1;
+    cfg->filt[1] = -1;
+    cfg->filt_len = 2;
+  }
+  return 0;
+}
+
+void dr_config_free(dr_config *cfg) {
+  free(cfg->filt);
+  cfg->filt = NULL;
+}
+
+static int is_delta(const dr_config *cfg) {
+  return cfg->filt_len == 2 && cfg->filt[0] == 1 && cfg->filt[1] == -1;
+}
+
+/* ------------------------------------------------------------------ */
+/* pre-filter (wrapping int16 arithmetic)                             */
+/* ------------------------------------------------------------------ */
+
+static void prefilter_apply(const int16_t *x, int16_t *d, size_t n,
+                            const dr_config *cfg) {
+  if (is_delta(cfg)) {
+    int16_t prev = 0;
+    for (size_t i = 0; i < n; i++) {
+      int16_t cur = x[i];
+      d[i] = (int16_t)(cur - prev); /* first sample verbatim (prev=0) */
+      prev = cur;
+    }
+    return;
+  }
+  for (size_t i = 0; i < n; i++) {
+    int16_t acc = 0;
+    size_t jmax = cfg->filt_len - 1 < i ? cfg->filt_len - 1 : i;
+    for (size_t j = 0; j <= jmax; j++)
+      acc = (int16_t)(acc + (int16_t)(x[i - j] * (int16_t)cfg->filt[j]));
+    d[i] = acc;
+  }
+}
+
+static void prefilter_invert(int16_t *d, size_t n, const dr_config *cfg) {
+  if (is_delta(cfg)) {
+    int16_t run = 0;
+    for (size_t i = 0; i < n; i++) {
+      run = (int16_t)(run + d[i]);
+      d[i] = run;
+    }
+    return;
+  }
+  /* generic IIR inverse, truncating division by filt[0] (C semantics) */
+  for (size_t i = 0; i < n; i++) {
+    int16_t num = d[i];
+    size_t jmax = cfg->filt_len - 1 < i ? cfg->filt_len - 1 : i;
+    for (size_t j = 1; j <= jmax; j++)
+      num = (int16_t)(num - (int16_t)(d[i - j] * (int16_t)cfg->filt[j]));
+    d[i] = (int16_t)(num / (int16_t)cfg->filt[0]);
+  }
+}
+
+/* ------------------------------------------------------------------ */
+/* Rice coding                                                        */
+/* ------------------------------------------------------------------ */
+
+static inline uint32_t zigzag16(int16_t v) {
+  int32_t x = v;
+  return x >= 0 ? (uint32_t)(x << 1) : (uint32_t)(-x * 2 - 1);
+}
+
+static inline int16_t unzigzag16(uint32_t u) {
+  return (int16_t)((u >> 1) ^ (uint32_t)-(int32_t)(u & 1));
+}
+
+/* exact bit length of one sample's codeword */
+static inline unsigned code_bits(uint32_t u, int k) {
+  uint32_t q = u >> k;
+  return q >= DR_ESCAPE_Q ? DR_ESCAPE_BITS : (unsigned)(q + 1 + k);
+}
+
+/* Phase 1: exact packed word count for one filtered segment. */
+static size_t count_words(const int16_t *d, size_t n, int k) {
+  uint64_t bits = 0;
+  for (size_t i = 0; i < n; i++) bits += code_bits(zigzag16(d[i]), k);
+  return (size_t)((bits + 31) / 32);
+}
+
+typedef struct {
+  uint32_t *dst;
+  uint64_t reg;  /* bits accumulate at the top, flushed 32 at a time */
+  unsigned nbits;
+  size_t pos;
+} dr_bitwriter;
+
+static inline void bw_put(dr_bitwriter *w, uint32_t value, unsigned len) {
+  w->reg |= (uint64_t)value << (64 - w->nbits - len);
+  w->nbits += len;
+  if (w->nbits >= 32) {
+    w->dst[w->pos++] = (uint32_t)(w->reg >> 32);
+    w->reg <<= 32;
+    w->nbits -= 32;
+  }
+}
+
+static void bw_finish(dr_bitwriter *w) {
+  if (w->nbits > 0) w->dst[w->pos++] = (uint32_t)(w->reg >> 32);
+}
+
+/* Phase 2: pack one filtered segment at a known offset. */
+static size_t pack_segment(const int16_t *d, size_t n, int k, uint32_t *dst) {
+  dr_bitwriter w = {dst, 0, 0, 0};
+  for (size_t i = 0; i < n; i++) {
+    uint32_t u = zigzag16(d[i]);
+    uint32_t q = u >> k;
+    if (q < DR_ESCAPE_Q) {
+      /* q zeros, 1, k-bit remainder — emitted as one (q+1+k)-bit value */
+      bw_put(&w, (1u << k) | (u & ((1u << k) - 1)), q + 1 + (unsigned)k);
+    } else {
+      bw_put(&w, (1u << 16) | (u & 0xFFFFu), DR_ESCAPE_BITS);
+    }
+  }
+  bw_finish(&w);
+  return w.pos;
+}
+
+typedef struct {
+  const uint32_t *src;
+  size_t pos;   /* next word */
+  uint64_t reg; /* upcoming bits at the top */
+  unsigned avail;
+  size_t limit;
+} dr_bitreader;
+
+static inline void br_fill(dr_bitreader *r) {
+  while (r->avail <= 32) {
+    uint32_t w = r->pos < r->limit ? r->src[r->pos] : 0;
+    r->pos++;
+    r->reg |= (uint64_t)w << (32 - r->avail);
+    r->avail += 32;
+  }
+}
+
+static int unpack_segment(const uint32_t *src, size_t n_words, int k,
+                          int16_t *out, size_t n) {
+  dr_bitreader r = {src, 0, 0, 0, n_words};
+  for (size_t i = 0; i < n; i++) {
+    br_fill(&r);
+    uint32_t top = (uint32_t)(r.reg >> 32);
+    unsigned q = 0;
+    while (q < DR_ESCAPE_Q && !(top & (0x80000000u >> q))) q++;
+    uint32_t u;
+    unsigned len;
+    if (q == DR_ESCAPE_Q) {
+      u = (top >> (32 - DR_ESCAPE_BITS)) & 0xFFFFu;
+      len = DR_ESCAPE_BITS;
+    } else {
+      u = (q << k) | ((top >> (32 - q - 1 - k)) & ((1u << k) - 1));
+      len = q + 1 + (unsigned)k;
+    }
+    r.reg <<= len;
+    r.avail -= len;
+    out[i] = unzigzag16(u);
+  }
+  return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* chunk framing                                                      */
+/* ------------------------------------------------------------------ */
+
+static void segment_layout(size_t total, const dr_config *cfg, size_t *nseg,
+                           size_t *seg_len) {
+  size_t len =
+      cfg->seg_len <= 0 ? total : (size_t)cfg->seg_len;
+  if (len == 0 || len > total) len = total;
+  size_t n = len ? total / len : 0;
+  if (n * len < total) n++;
+  *nseg = n ? n : (total ? 1 : 0);
+  *seg_len = len;
+}
+
+int dr_compress(const int16_t *samples, size_t n, const dr_config *cfg,
+                uint32_t **out, size_t *out_words) {
+  size_t nseg, seg_len;
+  segment_layout(n, cfg, &nseg, &seg_len);
+
+  int16_t *filtered = (int16_t *)malloc(n ? n * sizeof(int16_t) : 1);
+  size_t *words = (size_t *)malloc((nseg + 1) * sizeof(size_t));
+  if (!filtered || !words) {
+    free(filtered);
+    free(words);
+    return -1;
+  }
+
+  /* phase 1: filter + exact per-segment sizes */
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (size_t s = 0; s < nseg; s++) {
+    size_t off = s * seg_len;
+    size_t len = s + 1 == nseg ? n - off : seg_len;
+    prefilter_apply(samples + off, filtered + off, len, cfg);
+    words[s + 1] = count_words(filtered + off, len, cfg->k);
+  }
+  words[0] = 0;
+  for (size_t s = 0; s < nseg; s++) words[s + 1] += words[s];
+
+  size_t total_words = 1 + nseg + words[nseg];
+  uint32_t *dst = (uint32_t *)malloc(total_words * sizeof(uint32_t));
+  if (!dst) {
+    free(filtered);
+    free(words);
+    return -1;
+  }
+  dst[0] = (uint32_t)n;
+
+  /* phase 2: pack each segment at its final offset */
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (size_t s = 0; s < nseg; s++) {
+    size_t off = s * seg_len;
+    size_t len = s + 1 == nseg ? n - off : seg_len;
+    uint32_t *seg_dst = dst + 1 + s + 1 + words[s];
+    size_t got = pack_segment(filtered + off, len, cfg->k, seg_dst);
+    dst[1 + s + words[s]] = (uint32_t)got;
+    (void)got;
+  }
+
+  free(filtered);
+  free(words);
+  *out = dst;
+  *out_words = total_words;
+  return 0;
+}
+
+int dr_decompress(const uint32_t *words, size_t n_words,
+                  const dr_config *cfg, int16_t **out, size_t *out_n) {
+  if (n_words < 1) return -1;
+  size_t total = words[0];
+  size_t nseg, seg_len;
+  segment_layout(total, cfg, &nseg, &seg_len);
+
+  size_t *starts = (size_t *)malloc((nseg + 1) * sizeof(size_t));
+  int16_t *dst = (int16_t *)malloc(total ? total * sizeof(int16_t) : 1);
+  if (!starts || !dst) {
+    free(starts);
+    free(dst);
+    return -1;
+  }
+
+  /* serial header walk (each header's position depends on the previous) */
+  size_t pos = 1;
+  for (size_t s = 0; s < nseg; s++) {
+    if (pos >= n_words) {
+      fprintf(stderr, "deltarice_tpu: truncated stream\n");
+      free(starts);
+      free(dst);
+      return -1;
+    }
+    starts[s] = pos;
+    pos += (size_t)words[pos] + 1;
+  }
+  if (pos > n_words) {
+    fprintf(stderr, "deltarice_tpu: truncated stream\n");
+    free(starts);
+    free(dst);
+    return -1;
+  }
+
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (size_t s = 0; s < nseg; s++) {
+    size_t off = s * seg_len;
+    size_t len = s + 1 == nseg ? total - off : seg_len;
+    size_t nw = words[starts[s]];
+    unpack_segment(words + starts[s] + 1, nw, cfg->k, dst + off, len);
+    prefilter_invert(dst + off, len, cfg);
+  }
+
+  free(starts);
+  *out = dst;
+  *out_n = total;
+  return 0;
+}

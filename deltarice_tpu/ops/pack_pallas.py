@@ -1,0 +1,229 @@
+"""Pallas TPU encode kernel: fused delta/zigzag/Rice pack.
+
+The XLA packer (:mod:`.pack_xla`) is correct everywhere but its
+prefix-sum + boundary-gather placement runs at gather speed on TPU
+(~56 Melem/s, ~1 s per 14 MB batch). This kernel replaces it on TPU with
+the same architecture as the decode kernel (:mod:`.unpack_pallas`):
+
+* **Lanes x 8 sublanes = 1024 segments** encode in lockstep; the bit
+  accumulator, sample counter and delta state are per-lane registers.
+* **Sample-synchronous loop.** Codewords are <= 25 bits < 32, so appending
+  one codeword to the 64-bit accumulator window completes AT MOST one
+  32-bit output word — each sample therefore owns exactly one (possibly
+  empty) statically-addressed emission slot. No dynamic stores exist.
+* **Fused pipeline.** The wrapping-int16 delta filter, zigzag, codeword
+  construction and bit packing all happen in registers in one pass.
+* **Sort-based placement.** Emitted words carry their stream word-index as
+  a key (invalid slots get INT32_MAX); a key-value sort per segment row
+  compacts them into the final packed stream — sorting is ~10x faster
+  than TPU gathers/scatters at these shapes.
+* **Sample-chunked sequential grid** carries (accumulator, bit count,
+  word count, previous sample) across chunks in VMEM scratch so any
+  segment length fits VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ESCAPE_LEN, ESCAPE_Q
+
+_U32 = jnp.uint32
+_LANES = 128
+_SB = 8
+_GROUP = 16          # samples per inner unrolled group
+_CHUNK = 512         # samples per grid step
+_INVALID = 0x7FFFFFFF  # int32 max as a python constant (traced scalars cannot be captured by kernels)
+
+
+def _pack_kernel(x_ref, nvalid_ref, wstage_ref, kstage_ref, finw_ref,
+                 fink_ref, nw_ref, carry_ref, scratch_ref, *, sc: int,
+                 k: int, diff: bool):
+    """One grid step: encode ``sc`` samples of 1024 segments.
+
+    x_ref:      (sc*8, 128) int16 — row i*8+s is sample i of group s.
+    nvalid_ref: (8, 128) int32 — valid samples per segment.
+    wstage_ref: (sc*8, 128) uint32 — emitted word of sample slot i (or 0).
+    kstage_ref: (sc*8, 128) int32 — word index key (INT32_MAX if no word).
+    finw/fink/nw_ref: (8, 128) — final partial word, its key, total words.
+    carry_ref:  (40, 128) int32 scratch — prev/pos/n/acc_hi/acc_lo.
+    scratch_ref:(2*GROUP*8, 128) int32 — per-group staging (words, keys).
+    """
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        carry_ref[:, :] = jnp.zeros_like(carry_ref)
+        fink_ref[:, :] = jnp.full_like(fink_ref[:, :], _INVALID)
+
+    prev = carry_ref[0:8, :]
+    pos = carry_ref[8:16, :]
+    n = carry_ref[16:24, :]
+    ahi = carry_ref[24:32, :].astype(_U32)
+    alo = carry_ref[32:40, :].astype(_U32)
+    nv = nvalid_ref[:, :]
+
+    gsz = _GROUP * _SB
+    kmask = _U32((1 << k) - 1)
+
+    def group_step(g, carry):
+        prev, pos, n, ahi, alo = carry
+        row0 = pl.multiple_of(g * gsz, gsz)
+        xg = x_ref[pl.ds(row0, gsz), :]
+        for tt in range(_GROUP):
+            xi = xg[tt * _SB : (tt + 1) * _SB, :].astype(jnp.int32)
+            gidx = c * sc + g * _GROUP + tt
+            active = gidx < nv
+            if diff:
+                d = ((xi - prev) << 16) >> 16  # wrapping int16 difference
+                prev = jnp.where(active, xi, prev)
+            else:
+                d = xi
+            u = jnp.where(d >= 0, d << 1, (-d << 1) - 1).astype(_U32)
+            q = (u >> k).astype(jnp.int32)
+            esc = q >= ESCAPE_Q
+            clen = jnp.where(esc, ESCAPE_LEN, q + 1 + k)
+            clen = jnp.where(active, clen, 0)
+            val = jnp.where(
+                esc, _U32(1 << 16) | u, _U32(1 << k) | (u & kmask)
+            )
+            # append to the 64-bit window (top-aligned in ahi:alo)
+            sh = 64 - pos - clen  # in [8, 64]
+            shm32 = jnp.clip(sh - 32, 0, 31).astype(_U32)
+            sh32m = jnp.clip(32 - sh, 0, 31).astype(_U32)
+            shc = jnp.clip(sh, 0, 31).astype(_U32)
+            hi_add = jnp.where(sh >= 32, val << shm32, val >> sh32m)
+            lo_add = jnp.where(sh >= 32, _U32(0), val << shc)
+            live = active & (clen > 0)
+            ahi = ahi | jnp.where(live, hi_add, _U32(0))
+            alo = alo | jnp.where(live, lo_add, _U32(0))
+            pos = pos + clen
+            emit = pos >= 32
+            scratch_ref[tt * _SB : (tt + 1) * _SB, :] = jnp.where(
+                emit, ahi, _U32(0)
+            ).astype(jnp.int32)
+            scratch_ref[(_GROUP + tt) * _SB : (_GROUP + tt + 1) * _SB, :] = (
+                jnp.where(emit, n, _INVALID)
+            )
+            ahi = jnp.where(emit, alo, ahi)
+            alo = jnp.where(emit, _U32(0), alo)
+            pos = jnp.where(emit, pos - 32, pos)
+            n = n + emit.astype(jnp.int32)
+        wstage_ref[pl.ds(row0, gsz), :] = scratch_ref[0:gsz, :].astype(_U32)
+        kstage_ref[pl.ds(row0, gsz), :] = scratch_ref[gsz : 2 * gsz, :]
+        return prev, pos, n, ahi, alo
+
+    prev, pos, n, ahi, alo = jax.lax.fori_loop(
+        0, sc // _GROUP, group_step, (prev, pos, n, ahi, alo)
+    )
+    carry_ref[0:8, :] = prev
+    carry_ref[8:16, :] = pos
+    carry_ref[16:24, :] = n
+    carry_ref[24:32, :] = ahi.astype(jnp.int32)
+    carry_ref[32:40, :] = alo.astype(jnp.int32)
+    # final flush (rewritten every chunk; the last chunk's values win)
+    has_tail = pos > 0
+    finw_ref[:, :] = jnp.where(has_tail, ahi, _U32(0))
+    fink_ref[:, :] = jnp.where(has_tail, n, _INVALID)
+    nw_ref[:, :] = n + has_tail.astype(jnp.int32)
+
+
+def pack_encode_pallas(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
+                       max_words: int, diff: bool = True):
+    """Encode (num_segments, L) int16 samples into packed word streams.
+
+    Two dispatches (kernel program, then sort-based placement), mirroring
+    the decode path. Returns (words (S, max_words) uint32, nwords (S,)).
+    """
+    wstage, kstage, finw, fink, nwords = _encode_kernel_program(
+        x, nvalid, k, diff
+    )
+    words = _placement(wstage, kstage, finw, fink, max_words)
+    return words, nwords
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
+                           diff: bool):
+    from .transpose_pallas import transpose2d
+
+    nseg, length = x.shape
+    bseg = _SB * _LANES
+    blocks = -(-nseg // bseg)
+    sc = _CHUNK
+    n_chunks = -(-length // sc)
+    lp = n_chunks * sc
+    x = jnp.pad(x, ((0, blocks * bseg - nseg), (0, lp - length)))
+    nv = jnp.pad(nvalid.astype(jnp.int32), (0, blocks * bseg - nseg))
+
+    x3 = x.reshape(blocks, bseg, lp)
+    xt = jax.vmap(transpose2d)(x3)  # (blocks, lp, bseg)
+    xt = xt.reshape(blocks, lp * _SB, _LANES)
+    nv3 = nv.reshape(blocks, _SB, _LANES)
+
+    kern = functools.partial(_pack_kernel, sc=sc, k=k, diff=diff)
+    gsz = _GROUP * _SB
+    out = pl.pallas_call(
+        kern,
+        grid=(blocks, n_chunks),
+        in_specs=[
+            pl.BlockSpec((None, sc * _SB, _LANES), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, _SB, _LANES), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, sc * _SB, _LANES), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, sc * _SB, _LANES), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, _SB, _LANES), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, _SB, _LANES), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, _SB, _LANES), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((blocks, lp * _SB, _LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((blocks, lp * _SB, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((blocks, _SB, _LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((blocks, _SB, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((blocks, _SB, _LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((40, _LANES), jnp.int32),
+            pltpu.VMEM((2 * gsz, _LANES), jnp.int32),
+        ],
+    )(xt, nv3)
+    wstage, kstage, finw, fink, nw = out
+
+    def untile(a):
+        rows = a.shape[1] // _SB
+        t = jax.vmap(transpose2d)(a.reshape(blocks, rows, bseg))
+        return t.reshape(blocks * bseg, rows)[:nseg]
+
+    wstage = untile(wstage)
+    kstage = untile(kstage)
+    finw = finw.reshape(blocks * bseg)[:nseg]
+    fink = fink.reshape(blocks * bseg)[:nseg]
+    nw = nw.reshape(blocks * bseg)[:nseg]
+    return wstage, kstage, finw, fink, nw
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def _placement(wstage, kstage, finw, fink, max_words: int):
+    """Sort emitted words by stream index; slice to the padded width."""
+    keys = jnp.concatenate([kstage, fink[:, None]], axis=1)
+    vals = jnp.concatenate([wstage, finw[:, None]], axis=1)
+    _, ordered = jax.lax.sort((keys, vals), dimension=1, num_keys=1)
+    if ordered.shape[1] < max_words:
+        ordered = jnp.pad(
+            ordered, ((0, 0), (0, max_words - ordered.shape[1]))
+        )
+    return ordered[:, :max_words]

@@ -1,0 +1,30 @@
+"""Persistent XLA compilation cache.
+
+First-compile of the codec programs on TPU costs minutes for production
+shapes (the encoder's prefix-sum/searchsorted pipeline dominates). The
+reference C filter has no such cost, so to reach its cold-start behavior the
+framework persists compiled executables across processes via JAX's
+compilation cache. Call :func:`enable_persistent_cache` before the first
+jitted call (idempotent), or set ``DELTARICE_TPU_CACHE=/path``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_DEFAULT = os.path.expanduser("~/.cache/deltarice_tpu/xla")
+_enabled = False
+
+
+def enable_persistent_cache(path: str | None = None) -> str:
+    """Enable JAX's persistent compilation cache (idempotent)."""
+    global _enabled
+    cache_dir = path or os.environ.get("DELTARICE_TPU_CACHE") or _DEFAULT
+    if not _enabled:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _enabled = True
+    return cache_dir

@@ -1,0 +1,99 @@
+"""Pallas word-synchronous decode kernel vs the XLA scan oracle.
+
+These run only when a real TPU is attached (the kernel targets Mosaic;
+interpret mode is impractically slow under the remote-compile setup).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deltarice_tpu.codec import _decode_segments_scan, decode_segments
+from deltarice_tpu.config import RiceConfig
+from deltarice_tpu.ops.prefilter import prefilter_encode
+from deltarice_tpu.ops.rice import codeword_lengths_values, zigzag
+from deltarice_tpu.ops.pack_xla import pack_bits
+from deltarice_tpu.ops.unpack_pallas import (
+    pallas_decode_supported,
+    unpack_decode_pallas,
+)
+
+tpu_only = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs a TPU for the Mosaic kernel"
+)
+
+
+def _encode(x, k, pad_cols=2):
+    d = prefilter_encode(jnp.asarray(x))
+    u = zigzag(d)
+    lens, vals = codeword_lengths_values(u, k)
+    max_words = (x.shape[-1] * 25 + 31) // 32
+    words, nwords = pack_bits(lens, vals, max_words, "segsum")
+    return jnp.pad(words, ((0, 0), (0, pad_cols)))
+
+
+@tpu_only
+@pytest.mark.parametrize("k", [0, 1, 3, 7, 13, 15])
+def test_kernel_matches_input_all_k(k):
+    rng = np.random.default_rng(k)
+    x = np.round(np.cumsum(rng.normal(0, 10, (9, 160)), axis=-1)).astype(
+        np.int16
+    )
+    words = _encode(x, k)
+    out = unpack_decode_pallas(words, 160, k, True)
+    np.testing.assert_array_equal(np.asarray(out), x)
+
+
+@tpu_only
+def test_kernel_escape_heavy():
+    """Uniform full-range int16: nearly every codeword is an escape."""
+    rng = np.random.default_rng(1)
+    x = rng.integers(-32768, 32768, (5, 300)).astype(np.int16)
+    words = _encode(x, 3)
+    out = unpack_decode_pallas(words, 300, 3, True)
+    np.testing.assert_array_equal(np.asarray(out), x)
+
+
+@tpu_only
+def test_kernel_multi_block():
+    """More than 128 segments exercises the lane-block grid."""
+    rng = np.random.default_rng(2)
+    x = np.round(np.cumsum(rng.normal(0, 6, (300, 96)), axis=-1)).astype(
+        np.int16
+    )
+    words = _encode(x, 3)
+    out = unpack_decode_pallas(words, 96, 3, True)
+    np.testing.assert_array_equal(np.asarray(out), x)
+
+
+@tpu_only
+def test_kernel_vs_scan_oracle():
+    rng = np.random.default_rng(3)
+    x = np.round(np.cumsum(rng.normal(0, 10, (4, 200)), axis=-1)).astype(
+        np.int16
+    )
+    cfg = RiceConfig(8, 200)
+    words = _encode(x, cfg.k)
+    a = np.asarray(unpack_decode_pallas(words, 200, cfg.k, True))
+    b = np.asarray(_decode_segments_scan(words, 200, cfg))
+    np.testing.assert_array_equal(a, b)
+
+
+@tpu_only
+def test_decode_segments_auto_picks_pallas():
+    rng = np.random.default_rng(4)
+    x = np.round(np.cumsum(rng.normal(0, 10, (3, 128)), axis=-1)).astype(
+        np.int16
+    )
+    cfg = RiceConfig(8, 128)
+    words = _encode(x, cfg.k)
+    out = decode_segments(words, 128, cfg, backend="auto")
+    np.testing.assert_array_equal(np.asarray(out), x)
+
+
+def test_supported_bounds():
+    # the W-chunked kernel bounds VMEM by construction: everything fits
+    assert pallas_decode_supported(1792, 3)
+    assert pallas_decode_supported(6000, 0)
