@@ -7,6 +7,12 @@ HDF5 integration uses direct-chunk I/O plus a native C filter plugin for
 interop with non-JAX applications.
 """
 
+from .utils.cache import enable_persistent_cache as _enable_cache
+
+# First-compile of the codec programs costs minutes on TPU; the persistent
+# cache makes every later process start warm. Opt out: DELTARICE_TPU_CACHE=0.
+_enable_cache()
+
 from .config import H5FILTER, RiceConfig, rice_k
 from .codec import (
     compress,

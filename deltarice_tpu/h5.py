@@ -90,6 +90,7 @@ def write_dataset(group, name, data, cfg: RiceConfig | None = None,
         group, name, data.shape, cfg, chunks, dtype=data.dtype
     )
     chunk_shape = dset.chunks
+    offsets, blocks = [], []
     for _idx, off in _chunk_grid(data.shape, chunk_shape):
         sel = tuple(
             slice(o, min(o + c, s))
@@ -100,7 +101,12 @@ def write_dataset(group, name, data, cfg: RiceConfig | None = None,
             full = np.zeros(chunk_shape, dtype=data.dtype)
             full[tuple(slice(0, b) for b in block.shape)] = block
             block = full
-        dset.id.write_direct_chunk(off, codec.compress(block, cfg, method))
+        offsets.append(off)
+        blocks.append(block)
+    # one device call for all chunks (the reference runs the filter once
+    # per chunk; here the chunk axis is just more batch)
+    for off, blob in zip(offsets, codec.compress_batch(blocks, cfg, method)):
+        dset.id.write_direct_chunk(off, blob)
     return dset
 
 
@@ -114,9 +120,13 @@ def read_dataset(dset, cfg: RiceConfig | None = None) -> np.ndarray:
     out = np.empty(shape, dtype=dset.dtype)
     itemsize = np.dtype(dset.dtype).itemsize
     nsamp16 = int(np.prod(chunk_shape)) * itemsize // 2
+    offsets, blobs = [], []
     for _idx, off in _chunk_grid(shape, chunk_shape):
         _mask, blob = dset.id.read_direct_chunk(off)
-        flat = codec.decompress(blob, cfg)
+        offsets.append(off)
+        blobs.append(blob)
+    # one device call for all chunks
+    for off, flat in zip(offsets, codec.decompress_batch(blobs, cfg)):
         if flat.size != nsamp16:
             raise ValueError(
                 f"chunk at {off}: expected {nsamp16} samples, got {flat.size}"
