@@ -218,12 +218,20 @@ def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
 
 @functools.partial(jax.jit, static_argnums=(4,))
 def _placement(wstage, kstage, finw, fink, max_words: int):
-    """Sort emitted words by stream index; slice to the padded width."""
+    """Pack emitted words densely by stream index.
+
+    Emission slots are in stream order (slot = sample index, destinations
+    strictly increasing), i.e. "sorted with gaps" — exactly the butterfly
+    concentration precondition, which costs ~14 shift+select passes instead
+    of a ~196-pass sort network.
+    """
+    from .concentrate import concentrate
+
     keys = jnp.concatenate([kstage, fink[:, None]], axis=1)
     vals = jnp.concatenate([wstage, finw[:, None]], axis=1)
-    _, ordered = jax.lax.sort((keys, vals), dimension=1, num_keys=1)
-    if ordered.shape[1] < max_words:
-        ordered = jnp.pad(
-            ordered, ((0, 0), (0, max_words - ordered.shape[1]))
-        )
-    return ordered[:, :max_words]
+    slot = jnp.arange(keys.shape[1], dtype=jnp.int32)[None, :]
+    disp = jnp.where(keys != _INVALID, slot - keys, -1)
+    out = concentrate(vals, disp, min(max_words, keys.shape[1]))
+    if out.shape[1] < max_words:
+        out = jnp.pad(out, ((0, 0), (0, max_words - out.shape[1])))
+    return out

@@ -104,7 +104,7 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, carry_ref,
 
     words_ref: (wc*sb, 128) uint32 — row t*sb+s is word t of sublane-group s.
     next_ref:  (GROUP*sb, 128) uint32 — first words of the next chunk.
-    stage_ref: (J*wc*sb, 128) int16 — row (j*wc + t)*sb + s.
+    stage_ref: (J*wc*sb, 128) int16 — row (t*J + j)*sb + s (t-major).
     ntab_ref:  (wc*sb, 128) int32 — samples decoded before word t.
     carry_ref: (3*sb, 128) int32 scratch — pos / n / acc across chunks.
     scratch_ref: (J*GROUP*sb, 128) int32 scratch — staging for one group.
@@ -154,16 +154,18 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, carry_ref,
                     out = acc
                 else:
                     out = x
-                scratch_ref[(j * _GROUP + tt) * sb : (j * _GROUP + tt + 1) * sb, :] = (
+                # t-major staging: slot (t, j) at row t*J + j, so valid
+                # slots' sample indices strictly increase along rows — the
+                # precondition for butterfly-concentration compaction
+                scratch_ref[(tt * j_max + j) * sb : (tt * j_max + j + 1) * sb, :] = (
                     jnp.where(active, out, 0)
                 )
                 pos = jnp.where(active, pos + clen, pos)
                 n = n + active.astype(jnp.int32)
             pos = pos - 32
-        for j in range(j_max):
-            stage_ref[pl.ds(pl.multiple_of(j * wc * sb, gsz) + row0, gsz), :] = (
-                scratch_ref[j * gsz : (j + 1) * gsz, :].astype(jnp.int16)
-            )
+        stage_ref[pl.ds(pl.multiple_of(row0 * j_max, gsz), gsz * j_max), :] = (
+            scratch_ref[0 : gsz * j_max, :].astype(jnp.int16)
+        )
         ntab_ref[pl.ds(row0, gsz), :] = jnp.concatenate(ntab_vals, axis=0)
         return pos, n, acc
 
@@ -277,40 +279,39 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _compaction(stage: jnp.ndarray, ntab: jnp.ndarray, n_samples: int,
                 wc: int, j_max: int):
-    """Order the staged samples by their global sample index with a
-    key-value sort, then slice the first n_samples.
+    """Pack staged samples densely by sample index via butterfly
+    concentration.
 
-    Staging column c*(J*wc) + j*wc + t_rel holds the j-th decode of word
-    t = c*wc + t_rel, whose sample index is ntab[t] + j (valid iff
-    j < ntab[t+1] - ntab[t]). Keys are built densely by broadcasting —
-    no gathers anywhere: per-element gathers run at ~56 Melem/s on TPU
-    (~38 ms here) while a row sort is ~2-4 ms, so compaction-by-sorting
-    beats compaction-by-gathering by an order of magnitude. Invalid slots
-    get key INT32_MAX and sort past the end; phantom decodes from a
-    stream's zero-padding words get keys >= n_samples and fall away on the
-    slice (callers guarantee >= 1 trailing pad word per stream).
+    Staging column t*J + j (t-major) holds the j-th decode of word t,
+    whose sample index is ntab[t] + j (valid iff j < ntab[t+1] - ntab[t]),
+    so valid destinations strictly increase along the slot axis — the
+    concentration precondition. Everything is built densely by
+    broadcasting: no gathers (per-element gathers run ~56 Melem/s on TPU)
+    and no sort (~14 shift+select passes instead of ~196 compare-exchange
+    passes). Phantom decodes from a stream's zero-padding words get
+    destinations >= n_samples and fall off the slice (callers guarantee
+    >= 1 trailing pad word per stream); the final staged word's count is
+    unknown (no ntab[W]) but it is always such a pad word.
     """
+    from .concentrate import concentrate
+
     nseg, n_words = ntab.shape
-    n_chunks = n_words // wc
-    # counts per word; the final word's count is unknown (no ntab[W]) but
-    # it is always a pad word whose keys are >= n_samples anyway
     nxt = jnp.concatenate(
         [ntab[:, 1:], jnp.full((nseg, 1), 0x7FFFFFFF, jnp.int32)], axis=1
     )
     cnt = nxt - ntab
-    # broadcast to staging order (c, j, t_rel)
+    # broadcast to t-major staging order (t, j)
     base = jnp.broadcast_to(
-        ntab.reshape(nseg, n_chunks, 1, wc), (nseg, n_chunks, j_max, wc)
+        ntab[:, :, None], (nseg, n_words, j_max)
     )
-    c_b = jnp.broadcast_to(
-        cnt.reshape(nseg, n_chunks, 1, wc), (nseg, n_chunks, j_max, wc)
-    )
-    j_b = jax.lax.broadcasted_iota(jnp.int32, (nseg, n_chunks, j_max, wc), 2)
-    key = jnp.where(j_b < c_b, base + j_b, 0x7FFFFFFF).reshape(
-        nseg, n_chunks * j_max * wc
-    )
-    _, ordered = jax.lax.sort((key, stage), dimension=1, num_keys=1)
-    return ordered[:, :n_samples]
+    c_b = jnp.broadcast_to(cnt[:, :, None], (nseg, n_words, j_max))
+    j_b = jax.lax.broadcasted_iota(jnp.int32, (nseg, n_words, j_max), 2)
+    r = n_words * j_max
+    dest = (base + j_b).reshape(nseg, r)
+    valid = (j_b < c_b).reshape(nseg, r)
+    slot = jnp.arange(r, dtype=jnp.int32)[None, :]
+    disp = jnp.where(valid & (dest < n_samples), slot - dest, -1)
+    return concentrate(stage, disp, n_samples)
 
 
 def pallas_decode_supported(w_in: int, k: int) -> bool:
