@@ -13,10 +13,10 @@ the same architecture as the decode kernel (:mod:`.unpack_pallas`):
   empty) statically-addressed emission slot. No dynamic stores exist.
 * **Fused pipeline.** The wrapping-int16 delta filter, zigzag, codeword
   construction and bit packing all happen in registers in one pass.
-* **Sort-based placement.** Emitted words carry their stream word-index as
-  a key (invalid slots get INT32_MAX); a key-value sort per segment row
-  compacts them into the final packed stream — sorting is ~10x faster
-  than TPU gathers/scatters at these shapes.
+* **Concentration placement.** Emission slots are in stream order
+  (destinations strictly increasing), so the final packed stream comes
+  from butterfly concentration (:mod:`.concentrate`) — ~14 shift+select
+  passes; gathers/scatters/sorts never appear.
 * **Sample-chunked sequential grid** carries (accumulator, bit count,
   word count, previous sample) across chunks in VMEM scratch so any
   segment length fits VMEM.
@@ -133,12 +133,12 @@ def _pack_kernel(x_ref, nvalid_ref, wstage_ref, kstage_ref, finw_ref,
     nw_ref[:, :] = n + has_tail.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def pack_encode_pallas(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
                        max_words: int, diff: bool = True):
-    """Encode (num_segments, L) int16 samples into packed word streams.
-
-    Two dispatches (kernel program, then sort-based placement), mirroring
-    the decode path. Returns (words (S, max_words) uint32, nwords (S,)).
+    """Encode (num_segments, L) int16 samples into packed word streams as
+    ONE program: Mosaic kernel -> concentration placement.
+    Returns (words (S, max_words) uint32, nwords (S,)).
     """
     wstage, kstage, finw, fink, nwords = _encode_kernel_program(
         x, nvalid, k, diff

@@ -28,13 +28,11 @@ ALU cost. This kernel re-derives decode as a TPU program:
 * **Fused post-processing.** Un-zigzag and the wrapping-int16 delta prefix
   sum run inside the inner loop (decode order per lane is sample order), so
   the kernel emits final samples, not intermediate codes.
-* **Staging + gather compaction.** Word t's j-th decoded sample lands at a
-  known staging row with a per-word running base count in ``ntab``; the
-  dense sample -> (word, j) inverse map is recovered afterwards with a
-  hand-rolled binary search over minor-axis ``take_along_axis`` (~0.3 ms
-  for 3.6 M samples) in a SEPARATE dispatch — fused into one XLA program
-  the gathers fall off their fast path (~400 ms), and TPU scatters
-  (~47 ms) are avoided entirely.
+* **Staging + concentration compaction.** Word t's j-th decoded sample
+  lands at staging row t*J + j (t-major), so valid slots' sample indices
+  strictly increase along the slot axis; the dense output is then packed
+  by butterfly concentration (:mod:`.concentrate`) — no gathers
+  (~56 Melem/s on TPU), no scatters, no sort.
 """
 
 from __future__ import annotations
@@ -177,15 +175,13 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, carry_ref,
     carry_ref[2 * sb : 3 * sb, :] = acc
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
                          delta: bool = True, interpret: bool = False):
-    """Decode per-segment Rice streams to samples on TPU.
-
-    Runs as TWO dispatches: the Mosaic kernel program (+ layout
-    transposes), then the compaction program. Fusing them into one XLA
-    program sends the compaction gathers down a slow generic path (~400 ms
-    vs ~0.3 ms at the bench shape), so the dispatch boundary is
-    load-bearing.
+    """Decode per-segment Rice streams to samples on TPU, as ONE program:
+    Mosaic kernel -> layout transposes -> concentration compaction. (The
+    pipeline is fusion-safe because it contains no gathers; an earlier
+    gather-based compaction had to live in its own dispatch.)
 
     Args:
       words: (num_segments, W) uint32, one stream per row, zero-padded
