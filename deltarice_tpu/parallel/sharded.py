@@ -31,6 +31,16 @@ from ..ops.pack_xla import pack_bits, unpack_bits
 CHUNK_AXIS = "chunks"
 
 
+def _resolve(choice: str, mesh: "Mesh", on_tpu: str, fallback: str) -> str:
+    """Pick the kernel path from the MESH's device platform (the session's
+    default backend may differ from the mesh, e.g. CPU test meshes beside
+    a real TPU)."""
+    if choice != "auto":
+        return choice
+    platform = next(iter(mesh.devices.flat)).platform
+    return on_tpu if platform == "tpu" else fallback
+
+
 def chunk_mesh(devices=None, axis_name: str = CHUNK_AXIS) -> Mesh:
     """1-D mesh over all (or the given) devices, chunk-data-parallel."""
     if devices is None:
@@ -40,9 +50,24 @@ def chunk_mesh(devices=None, axis_name: str = CHUNK_AXIS) -> Mesh:
 
 def _encode_local(x, nvalid, cfg: RiceConfig, max_words: int, method: str):
     """Encode a local (C, S, L) batch of chunks; same math as
-    :func:`deltarice_tpu.codec.encode_segments`, batched over chunks."""
+    :func:`deltarice_tpu.codec.encode_segments`, batched over chunks.
+    ``method`` follows the codec's dispatch: the Mosaic kernel on TPU,
+    the XLA packer elsewhere (and always on CPU test meshes)."""
     c, s, length = x.shape
     flat = x.reshape(c * s, length)
+    if method == "pallas":
+        from ..ops.pack_pallas import pack_encode_pallas
+
+        if cfg.is_delta:
+            words, nwords = pack_encode_pallas(
+                flat, nvalid.reshape(-1), cfg.k, max_words, True
+            )
+        else:
+            d = prefilter_encode(flat, cfg.filt)
+            words, nwords = pack_encode_pallas(
+                d, nvalid.reshape(-1), cfg.k, max_words, False
+            )
+        return words.reshape(c, s, max_words), nwords.reshape(c, s)
     d = prefilter_encode(flat, cfg.filt)
     u = zigzag(d)
     lens, vals = codeword_lengths_values(u, cfg.k)
@@ -52,9 +77,18 @@ def _encode_local(x, nvalid, cfg: RiceConfig, max_words: int, method: str):
     return words.reshape(c, s, max_words), nwords.reshape(c, s)
 
 
-def _decode_local(words, n_samples: int, cfg: RiceConfig):
+def _decode_local(words, n_samples: int, cfg: RiceConfig,
+                  backend: str = "auto"):
     c, s, w = words.shape
-    u = unpack_bits(words.reshape(c * s, w), n_samples, cfg.k)
+    flat = words.reshape(c * s, w)
+    if backend == "pallas":
+        from ..ops.unpack_pallas import unpack_decode_pallas
+
+        out = unpack_decode_pallas(flat, n_samples, cfg.k, cfg.is_delta)
+        if not cfg.is_delta:
+            out = prefilter_decode(out, cfg.filt)
+        return out.reshape(c, s, n_samples)
+    u = unpack_bits(flat, n_samples, cfg.k)
     out = prefilter_decode(unzigzag(u), cfg.filt)
     return out.reshape(c, s, n_samples)
 
@@ -68,7 +102,7 @@ def encode_chunks_sharded(
     cfg: RiceConfig,
     mesh: Mesh,
     max_words: int,
-    method: str = "segsum",
+    method: str = "auto",
     axis_name: str = CHUNK_AXIS,
 ):
     """Encode a (num_chunks, segments, L) int16 batch sharded over the mesh.
@@ -77,6 +111,7 @@ def encode_chunks_sharded(
     chunks — ``nvalid == 0`` — to round up). Returns sharded
     ``words (C, S, max_words)`` and ``nwords (C, S)``.
     """
+    method = _resolve(method, mesh, "pallas", "segsum")
     spec = P(axis_name)
     fn = jax.shard_map(
         lambda x, nv: _encode_local(x, nv, cfg, max_words, method),
@@ -97,11 +132,13 @@ def decode_chunks_sharded(
     cfg: RiceConfig,
     mesh: Mesh,
     axis_name: str = CHUNK_AXIS,
+    backend: str = "auto",
 ):
     """Decode a (num_chunks, segments, W) uint32 batch sharded over the mesh."""
+    backend = _resolve(backend, mesh, "pallas", "scan")
     spec = P(axis_name)
     fn = jax.shard_map(
-        lambda w: _decode_local(w, n_samples, cfg),
+        lambda w: _decode_local(w, n_samples, cfg, backend),
         mesh=mesh,
         in_specs=(spec,),
         out_specs=spec,
@@ -129,9 +166,12 @@ def roundtrip_check_step(
     """
     spec = P(axis_name)
 
+    be = _resolve("auto", mesh, "pallas", "segsum")
+    bd = _resolve("auto", mesh, "pallas", "scan")
+
     def local(x, nv):
-        words, nwords = _encode_local(x, nv, cfg, max_words, "segsum")
-        out = _decode_local(words, x.shape[-1], cfg)
+        words, nwords = _encode_local(x, nv, cfg, max_words, be)
+        out = _decode_local(words, x.shape[-1], cfg, bd)
         mask = (
             jnp.arange(x.shape[-1], dtype=jnp.int32)[None, None, :]
             < nv[..., None]

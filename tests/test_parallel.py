@@ -73,3 +73,21 @@ def test_sharded_decode_matches_input():
     )
     out = decode_chunks_sharded(words, length, cfg, mesh)
     np.testing.assert_array_equal(np.asarray(out), x)
+
+
+def test_sharded_pallas_on_tpu_mesh():
+    """Single-device TPU mesh exercises the Mosaic kernels inside shard_map."""
+    tpus = [d for d in jax.devices() if d.platform == "tpu"]
+    if not tpus:
+        pytest.skip("no TPU")
+    mesh = chunk_mesh(tpus[:1])
+    cfg = drt.RiceConfig(8, 256)
+    x, nvalid = _chunk_batch(nchunks=2, nseg=4, length=256, seed=9)
+    words, nwords, mism = roundtrip_check_step(
+        put_sharded(x, mesh), put_sharded(nvalid, mesh), cfg, mesh,
+        cfg.max_words(256),
+    )
+    assert int(mism) == 0
+    # bytes equal the host codec's
+    blob = frame_stream(4 * 256, np.asarray(words)[0], np.asarray(nwords)[0])
+    assert blob == drt.compress(x[0].ravel(), cfg)
