@@ -1,0 +1,90 @@
+"""Corrupt/hostile-stream robustness (a test gap the reference never
+covered): decoders must fail cleanly or produce garbage — never crash,
+hang, or read out of bounds."""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+import deltarice_tpu as drt
+from deltarice_tpu import native
+
+
+def _blob(n=1000, m=8, wl=100, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.round(np.cumsum(rng.normal(0, 10, n))).astype(np.int16)
+    return x, drt.compress(x, drt.RiceConfig(m, wl))
+
+
+def test_truncated_everywhere():
+    x, blob = _blob()
+    cfg = drt.RiceConfig(8, 100)
+    for cut in range(4, len(blob), 97):
+        try:
+            out = drt.decompress(blob[:cut], cfg)
+            assert len(out) <= x.size  # decoded something; fine
+        except ValueError:
+            pass  # clean failure; fine
+
+
+def test_bitflips_roundtrip_clean_failure_or_garbage():
+    x, blob = _blob(seed=1)
+    cfg = drt.RiceConfig(8, 100)
+    rng = np.random.default_rng(2)
+    buf = bytearray(blob)
+    for _ in range(20):
+        pos = int(rng.integers(4, len(buf)))
+        bit = int(rng.integers(0, 8))
+        buf[pos] ^= 1 << bit
+        try:
+            drt.decompress(bytes(buf), cfg)  # garbage ok, crash not
+        except ValueError:
+            pass
+        buf[pos] ^= 1 << bit  # restore
+
+
+def test_header_lies_about_total():
+    x, blob = _blob(seed=3)
+    cfg = drt.RiceConfig(8, 100)
+    buf = bytearray(blob)
+    buf[0:4] = (10**6).to_bytes(4, "little")  # claim a million samples
+    with pytest.raises(ValueError):
+        drt.decompress(bytes(buf), cfg)
+
+
+def test_zero_length_stream():
+    with pytest.raises((ValueError, IndexError)):
+        drt.decompress(b"", drt.RiceConfig(8, 100))
+
+
+@pytest.mark.skipif(not native.is_built(), reason="native lib not built")
+def test_native_decoder_truncated_stream():
+    """The C decoder must return an error, not crash, on truncation."""
+    lib = ctypes.CDLL(str(native.library_path()))
+    libc = ctypes.CDLL(None)
+    libc.free.argtypes = [ctypes.c_void_p]
+
+    class DrConfig(ctypes.Structure):
+        _fields_ = [
+            ("m", ctypes.c_uint32), ("k", ctypes.c_int),
+            ("seg_len", ctypes.c_int64),
+            ("filt", ctypes.c_void_p), ("filt_len", ctypes.c_size_t),
+        ]
+
+    x, blob = _blob(seed=4)
+    cfg_c = DrConfig()
+    cd = (ctypes.c_uint * 2)(8, 100)
+    assert lib.dr_config_parse(2, cd, ctypes.byref(cfg_c)) == 0
+    words = np.frombuffer(blob, dtype=np.uint32)
+    for cut_words in (1, 3, 10, len(words) - 2):
+        trunc = words[:cut_words].copy()
+        out = ctypes.c_void_p()
+        out_n = ctypes.c_size_t()
+        rc = lib.dr_decompress(
+            trunc.ctypes.data_as(ctypes.c_void_p), cut_words,
+            ctypes.byref(cfg_c), ctypes.byref(out), ctypes.byref(out_n),
+        )
+        if rc == 0:
+            libc.free(out)
+    lib.dr_config_free(ctypes.byref(cfg_c))
