@@ -43,8 +43,9 @@ def concentrate(values: jnp.ndarray, disp: jnp.ndarray, n_out: int):
 
     Args:
       values: (rows, R) payload.
-      disp: (rows, R) int32 displacement ``slot - destination`` for valid
-        elements (>= 0, conflict-free monotone), and ``-1`` for dead slots.
+      disp: (rows, R) int32 or int16 displacement ``slot - destination``
+        for valid elements (>= 0, conflict-free monotone), ``-1`` for dead
+        slots. int16 halves memory traffic and is valid whenever R < 2^15.
       n_out: static number of leading output columns to return.
 
     Returns:

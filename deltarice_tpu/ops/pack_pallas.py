@@ -231,6 +231,8 @@ def _placement(wstage, kstage, finw, fink, max_words: int):
     vals = jnp.concatenate([wstage, finw[:, None]], axis=1)
     slot = jnp.arange(keys.shape[1], dtype=jnp.int32)[None, :]
     disp = jnp.where(keys != _INVALID, slot - keys, -1)
+    if keys.shape[1] < (1 << 15):  # halve concentration traffic
+        disp = disp.astype(jnp.int16)
     out = concentrate(vals, disp, min(max_words, keys.shape[1]))
     if out.shape[1] < max_words:
         out = jnp.pad(out, ((0, 0), (0, max_words - out.shape[1])))

@@ -77,11 +77,12 @@ def _decode_one(w0, w1, pos, k: int):
     """Decode the codeword at bit ``pos`` (< 32) of the window (w0, w1).
 
     Returns (u zigzag value i32, clen i32); valid only where pos < 32.
+    The ``(w1 >> (31-p)) >> 1`` form avoids a select for p == 0 (where a
+    single >>32 would be undefined), shortening the loop-carried
+    dependency chain pos -> win -> q -> clen -> pos.
     """
     p = (pos & 31).astype(_U32)
-    win = (w0 << p) | jnp.where(
-        p == 0, _U32(0), w1 >> ((_U32(32) - p) & _U32(31))
-    )
+    win = (w0 << p) | ((w1 >> (_U32(31) - p)) >> 1)
     top8 = win >> _U32(24)
     q = jnp.zeros(pos.shape, jnp.int32)
     for b in range(8):
@@ -92,7 +93,8 @@ def _decode_one(w0, w1, pos, k: int):
     u_plain = (q.astype(_U32) << k) | rbits
     u_esc = (win >> _U32(7)) & _U32(0xFFFF)
     u = jnp.where(esc, u_esc, u_plain).astype(jnp.int32)
-    clen = jnp.where(esc, 25, q + 1 + k)
+    # q+1+k for q<8, 25 for the escape: 25 = 8+1+16, so add (16-k) when esc
+    clen = q + (1 + k) + jnp.where(esc, 16 - k, 0)
     return u, clen
 
 
@@ -307,6 +309,8 @@ def _compaction(stage: jnp.ndarray, ntab: jnp.ndarray, n_samples: int,
     valid = (j_b < c_b).reshape(nseg, r)
     slot = jnp.arange(r, dtype=jnp.int32)[None, :]
     disp = jnp.where(valid & (dest < n_samples), slot - dest, -1)
+    if r < (1 << 15):  # halve concentration traffic when displacements fit
+        disp = disp.astype(jnp.int16)
     return concentrate(stage, disp, n_samples)
 
 
