@@ -47,7 +47,7 @@ def _sync_cost(iters: int = 10) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def _timeit(fn, *args, iters: int = 20, sync_cost: float = 0.0):
+def _timeit(fn, *args, iters: int = 60, sync_cost: float = 0.0):
     _sync(fn(*args))  # warmup/compile
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(iters)]

@@ -87,21 +87,25 @@ def _pack_kernel(x_ref, nvalid_ref, wstage_ref, kstage_ref, finw_ref,
             u = jnp.where(d >= 0, d << 1, (-d << 1) - 1).astype(_U32)
             q = (u >> k).astype(jnp.int32)
             esc = q >= ESCAPE_Q
-            clen = jnp.where(esc, ESCAPE_LEN, q + 1 + k)
-            clen = jnp.where(active, clen, 0)
+            # q+1+k for q<8, 25 = 8+1+16 for the escape
+            clen = jnp.where(
+                active, jnp.minimum(q, 8) + (1 + k)
+                + jnp.where(esc, 16 - k, 0), 0
+            )
             val = jnp.where(
                 esc, _U32(1 << 16) | u, _U32(1 << k) | (u & kmask)
             )
-            # append to the 64-bit window (top-aligned in ahi:alo)
-            sh = 64 - pos - clen  # in [8, 64]
-            shm32 = jnp.clip(sh - 32, 0, 31).astype(_U32)
-            sh32m = jnp.clip(32 - sh, 0, 31).astype(_U32)
-            shc = jnp.clip(sh, 0, 31).astype(_U32)
-            hi_add = jnp.where(sh >= 32, val << shm32, val >> sh32m)
-            lo_add = jnp.where(sh >= 32, _U32(0), val << shc)
-            live = active & (clen > 0)
-            ahi = ahi | jnp.where(live, hi_add, _U32(0))
-            alo = alo | jnp.where(live, lo_add, _U32(0))
+            val = jnp.where(active, val, _U32(0))
+            # append to the 64-bit window (top-aligned in ahi:alo);
+            # o = bits past the hi word; o <= 0 means the codeword fits
+            o = pos + clen - 32  # in (-32, 25]
+            o_pos = jnp.maximum(o, 0).astype(_U32)
+            o_neg = jnp.maximum(-o, 0).astype(_U32) & _U32(31)
+            hi_add = jnp.where(o > 0, val >> o_pos, val << o_neg)
+            lo_add = jnp.where(o > 0, val << ((_U32(32) - o_pos) & _U32(31)),
+                               _U32(0))
+            ahi = ahi | hi_add
+            alo = alo | lo_add
             pos = pos + clen
             emit = pos >= 32
             scratch_ref[tt * _SB : (tt + 1) * _SB, :] = jnp.where(
