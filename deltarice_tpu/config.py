@@ -131,7 +131,9 @@ class RiceConfig:
             if self.waveform_length == -1:
                 return () if self.m == 8 else (self.m,)
             return (self.m, self.waveform_length)
-        length = self.waveform_length
+        # cd_values are uint32 on the wire; -1 (whole-chunk) wraps to
+        # 0xFFFFFFFF exactly as the reference stores it
+        length = self.waveform_length & 0xFFFFFFFF
         return (self.m, length, len(self.filt)) + tuple(
             c & 0xFFFFFFFF for c in self.filt
         )

@@ -88,3 +88,26 @@ def test_native_decoder_truncated_stream():
         if rc == 0:
             libc.free(out)
     lib.dr_config_free(ctypes.byref(cfg_c))
+
+
+def test_m1_large_values_we_are_correct_where_reference_is_broken():
+    """M=1 with |x| >= 16384: the reference encoder's short-typed quotient
+    wraps negative (UB) and its own decoder cannot read its output; ours
+    round-trips, and the reference DECODER reads our stream exactly
+    (docs/Interop.md)."""
+    from deltarice_tpu.testing.oracle import oracle_available, ReferenceOracle
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(-32768, 32768, 200).astype(np.int16)
+    cfg = drt.RiceConfig(1)
+    ours = drt.compress(data, cfg)
+    np.testing.assert_array_equal(drt.decompress(ours, cfg), data)
+    if oracle_available():
+        o = ReferenceOracle()
+        np.testing.assert_array_equal(
+            o.decompress(ours, cfg.to_cd_values()), data
+        )
+        ref = o.compress(data, cfg.to_cd_values())
+        assert not np.array_equal(
+            o.decompress(ref, cfg.to_cd_values()), data
+        ), "reference fixed its M=1 bug? revisit docs/Interop.md"
