@@ -8,7 +8,8 @@ example program, the documented optimization routine) as subcommands:
         [--wavelength L] [--chunk-rows R] [--filter a,b,...]
     python -m deltarice_tpu decompress SRC.h5 DST.h5 [--dataset D]
     python -m deltarice_tpu optimize FILE.h5 [--dataset D] [--taps N]
-    python -m deltarice_tpu bench [--profile nab] [--waveforms N]
+
+(Throughput benchmarking lives in the repo-root ``bench.py``.)
 """
 
 from __future__ import annotations

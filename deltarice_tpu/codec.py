@@ -132,6 +132,8 @@ def compress(data, cfg: RiceConfig = RiceConfig(), method: str = "auto") -> byte
     """
     x = as_int16(data).ravel()
     total = x.size
+    if total == 0:  # header-only stream, matching the native C codec
+        return np.zeros(1, dtype="<u4").tobytes()
     nseg, length, nvalid = _segment_layout(total, cfg)
     padded = np.zeros((nseg, length), dtype=np.int16)
     padded.ravel()[:total] = x
@@ -182,10 +184,12 @@ def decompress_batch(streams, cfg: RiceConfig = RiceConfig(),
     if not streams:
         return []
     bufs = [np.frombuffer(memoryview(s), dtype="<u4") for s in streams]
-    total = int(bufs[0][0])
-    if any(int(b[0]) != total for b in bufs):
+    total = int(bufs[0][0]) if bufs[0].size else 0
+    if any((int(b[0]) if b.size else 0) != total for b in bufs):
         raise ValueError("decompress_batch requires equal-sized chunks")
-    nseg, length, nvalid = _segment_layout(total, cfg)
+    if total == 0:
+        return [np.zeros(0, dtype=np.int16) for _ in bufs]
+    nseg, length, _ = _segment_layout(total, cfg)
     per_chunk = []
     maxw = 0
     for buf in bufs:
@@ -207,8 +211,12 @@ def decompress(stream, cfg: RiceConfig = RiceConfig(),
                backend: str = "auto") -> np.ndarray:
     """Decompress a framed byte stream back to a flat int16 array."""
     buf = np.frombuffer(memoryview(stream), dtype="<u4")
+    if buf.size == 0:
+        raise ValueError("truncated Delta-Rice stream")
     total = int(buf[0])
-    nseg, length, nvalid = _segment_layout(total, cfg)
+    if total == 0:
+        return np.zeros(0, dtype=np.int16)
+    nseg, length, _ = _segment_layout(total, cfg)
     counts, starts = walk_headers(buf, nseg)
     words = gather_segments(buf, counts, starts)
     out = decode_segments(jnp.asarray(words), length, cfg, backend)

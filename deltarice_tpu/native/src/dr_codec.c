@@ -26,6 +26,12 @@ int dr_config_parse(size_t cd_nelmts, const unsigned *cd_values,
     fprintf(stderr, "deltarice_tpu: M=%u is not a power of two\n", cfg->m);
     return -1;
   }
+  if (cfg->m > (1u << 15)) {
+    /* same cap as the Python RiceConfig: larger M cannot round-trip
+     * 16-bit zigzag values and the reference silently corrupts it */
+    fprintf(stderr, "deltarice_tpu: M=%u exceeds 2^15\n", cfg->m);
+    return -1;
+  }
   cfg->k = 0;
   for (uint32_t v = cfg->m; v > 1; v >>= 1) cfg->k++;
   if (cd_nelmts >= 3) {

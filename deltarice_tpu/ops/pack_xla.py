@@ -67,7 +67,6 @@ def _pack_segsum(w0, hi, lo, max_words):
     with ``B[w] = last sample whose codeword starts in word <= w``,
     ``word[w] = Shi[B[w]] - Shi[B[w-1]] + Slo[B[w-1]] - Slo[B[w-2]]``.
     """
-    nw = w0.shape[0]
     shi = jnp.pad(jnp.cumsum(hi, axis=-1), ((0, 0), (1, 0)))
     slo = jnp.pad(jnp.cumsum(lo, axis=-1), ((0, 0), (1, 0)))
     wq = jnp.arange(max_words, dtype=w0.dtype)

@@ -72,23 +72,24 @@ def _iir_decode(d: jnp.ndarray, filt: tuple[int, ...]) -> jnp.ndarray:
     replicate the reference's truncating division (lossy in general).
     """
     ntaps = len(filt)
+    f0_int = int(_c16(filt[0]))  # encode wraps every tap mod 2**16
     if ntaps == 1:
         num = d.astype(jnp.int32)
-        if filt[0] == 1:
+        if f0_int == 1:
             return d
-        return jax.lax.div(num, jnp.int32(filt[0])).astype(jnp.int16)
+        return jax.lax.div(num, jnp.int32(f0_int)).astype(jnp.int16)
 
     taps = jnp.asarray([_c16(c) for c in filt[1:]], dtype=jnp.int16)
-    f0 = jnp.int32(filt[0])
+    f0 = jnp.int32(f0_int)
 
     def step(hist, din):
         # hist: last (ntaps-1) outputs, hist[0] most recent; din: batch of new
         # filtered samples. Numerator wraps in int16, division truncates
         # toward zero on the wrapped value (C semantics).
         num = din - jnp.sum(hist * taps[None, :], axis=-1, dtype=jnp.int16)
-        if filt[0] == 1:
+        if f0_int == 1:
             out = num
-        elif filt[0] == -1:
+        elif f0_int == -1:
             out = -num
         else:
             out = jax.lax.div(num.astype(jnp.int32), f0).astype(jnp.int16)

@@ -199,7 +199,6 @@ def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
     nseg = words.shape[0]
     sb = _sublane_factor(nseg)
     wc = _chunk_words(k, sb)
-    n_chunks = -(-words.shape[-1] // wc)
     stage, ntab = _kernel_program(words, k, delta, sb, wc, interpret)
     return _compaction(stage, ntab, n_samples, wc, codewords_per_word(k))
 

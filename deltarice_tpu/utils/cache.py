@@ -29,10 +29,17 @@ def enable_persistent_cache(path: str | None = None) -> str:
     env = os.environ.get("DELTARICE_TPU_CACHE")
     if env == "0":
         return ""
+    if path is None and env is None and jax.config.jax_compilation_cache_dir:
+        return jax.config.jax_compilation_cache_dir  # respect the host app
     cache_dir = path or env or _DEFAULT
     if not _enabled:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+        except Exception:
+            return ""  # read-only $HOME etc. must not break import
         _enabled = True
     return cache_dir
