@@ -23,14 +23,6 @@ from . import codec
 from .config import H5FILTER, RiceConfig
 
 
-def _require_h5py():
-    try:
-        import h5py
-    except ImportError as e:  # pragma: no cover
-        raise RuntimeError("h5py is required for deltarice_tpu.h5") from e
-    return h5py
-
-
 def _chunk_grid(shape, chunks):
     """Yield (grid_index, offset) for every chunk of a dataset."""
     import itertools
