@@ -42,17 +42,42 @@ def concentrate(values: jnp.ndarray, disp: jnp.ndarray, n_out: int):
     """Pack valid elements to the front of each row.
 
     Args:
-      values: (rows, R) payload.
+      values: (rows, R) payload, 16-bit (int16/uint32-with-16-significant
+        bits are both fine — the low 16 bits are preserved).
       disp: (rows, R) int32 or int16 displacement ``slot - destination``
         for valid elements (>= 0, conflict-free monotone), ``-1`` for dead
-        slots. int16 halves memory traffic and is valid whenever R < 2^15.
+        slots.
       n_out: static number of leading output columns to return.
 
     Returns:
-      (rows, n_out) values with element of destination j at column j.
+      (rows, n_out) values (same dtype) with destination j at column j.
+
+    When both displacement and payload fit 16 bits (always true for this
+    codec: R < 2^15 and samples/words-in-16-bit-halves), the pair packs
+    into one int32 ``disp << 16 | val`` so each routing pass is a single
+    shifted select — fewer ops and half the arrays of the two-plane form.
     """
     r = values.shape[1]
     passes = max(1, (r - 1).bit_length())
+    if r < (1 << 15) and values.dtype.itemsize <= 2:
+        packed = (disp.astype(jnp.int32) << 16) | (
+            values.astype(jnp.int32) & 0xFFFF
+        )
+        dead = jnp.int32(-1 << 16)  # disp == -1, value 0
+        for b in range(passes):
+            s = 1 << b
+            if s >= r:
+                break
+            in_p = _shift_left(packed, s, dead)
+            moving = (in_p >= 0) & (((in_p >> 16) & s) != 0)
+            staying = (packed >= 0) & (((packed >> 16) & s) == 0)
+            packed = jnp.where(
+                moving, in_p - (s << 16), jnp.where(staying, packed, dead)
+            )
+        out = (packed[:, :n_out] & 0xFFFF).astype(jnp.int32)
+        if values.dtype == jnp.int16:
+            return ((out << 16) >> 16).astype(jnp.int16)
+        return out.astype(values.dtype)
     for b in range(passes):
         s = 1 << b
         if s >= r:
