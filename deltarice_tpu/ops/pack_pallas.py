@@ -229,15 +229,13 @@ def _placement(wstage, kstage, finw, fink, max_words: int):
     concentration precondition, which costs ~14 shift+select passes instead
     of a ~196-pass sort network.
     """
-    from .concentrate import concentrate
+    from .concentrate_pallas import concentrate_pallas
 
     keys = jnp.concatenate([kstage, fink[:, None]], axis=1)
     vals = jnp.concatenate([wstage, finw[:, None]], axis=1)
     slot = jnp.arange(keys.shape[1], dtype=jnp.int32)[None, :]
     disp = jnp.where(keys != _INVALID, slot - keys, -1)
-    if keys.shape[1] < (1 << 15):  # halve concentration traffic
-        disp = disp.astype(jnp.int16)
-    out = concentrate(vals, disp, min(max_words, keys.shape[1]))
+    out = concentrate_pallas(vals, disp, min(max_words, keys.shape[1]))
     if out.shape[1] < max_words:
         out = jnp.pad(out, ((0, 0), (0, max_words - out.shape[1])))
     return out

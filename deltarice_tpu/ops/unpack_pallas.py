@@ -290,7 +290,7 @@ def _compaction(stage: jnp.ndarray, ntab: jnp.ndarray, n_samples: int,
     >= 1 trailing pad word per stream); the final staged word's count is
     unknown (no ntab[W]) but it is always such a pad word.
     """
-    from .concentrate import concentrate
+    from .concentrate_pallas import concentrate_pallas
 
     nseg, n_words = ntab.shape
     nxt = jnp.concatenate(
@@ -308,13 +308,4 @@ def _compaction(stage: jnp.ndarray, ntab: jnp.ndarray, n_samples: int,
     valid = (j_b < c_b).reshape(nseg, r)
     slot = jnp.arange(r, dtype=jnp.int32)[None, :]
     disp = jnp.where(valid & (dest < n_samples), slot - dest, -1)
-    if r < (1 << 15):  # halve concentration traffic when displacements fit
-        disp = disp.astype(jnp.int16)
-    return concentrate(stage, disp, n_samples)
-
-
-def pallas_decode_supported(w_in: int, k: int) -> bool:
-    """The chunked kernel bounds VMEM by construction; reject only configs
-    whose per-chunk blocks would still not fit (tiny M with huge J is fine
-    since the chunk shrinks, so this is effectively always true)."""
-    return True
+    return concentrate_pallas(stage, disp, n_samples)

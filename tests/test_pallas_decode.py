@@ -16,7 +16,6 @@ from deltarice_tpu.ops.prefilter import prefilter_encode
 from deltarice_tpu.ops.rice import codeword_lengths_values, zigzag
 from deltarice_tpu.ops.pack_xla import pack_bits
 from deltarice_tpu.ops.unpack_pallas import (
-    pallas_decode_supported,
     unpack_decode_pallas,
 )
 
@@ -91,12 +90,6 @@ def test_decode_segments_auto_picks_pallas():
     words = _encode(x, cfg.k)
     out = decode_segments(words, 128, cfg, backend="auto")
     np.testing.assert_array_equal(np.asarray(out), x)
-
-
-def test_supported_bounds():
-    # the W-chunked kernel bounds VMEM by construction: everything fits
-    assert pallas_decode_supported(1792, 3)
-    assert pallas_decode_supported(6000, 0)
 
 
 @tpu_only
