@@ -7,11 +7,12 @@ HDF5 integration uses direct-chunk I/O plus a native C filter plugin for
 interop with non-JAX applications.
 """
 
-from .utils.cache import enable_persistent_cache as _enable_cache
-
 # First-compile of the codec programs costs minutes on TPU; the persistent
-# cache makes every later process start warm. Opt out: DELTARICE_TPU_CACHE=0.
-_enable_cache()
+# compilation cache makes every later process start warm. It is enabled
+# lazily by the codec entry points (not at import time, so importing this
+# package never mutates host-application JAX config). Opt out with
+# DELTARICE_TPU_CACHE=0, or call it eagerly yourself:
+from .utils.cache import enable_persistent_cache
 
 from .config import H5FILTER, RiceConfig, rice_k
 from .codec import (
@@ -26,6 +27,7 @@ __version__ = "0.1.0"
 __all__ = [
     "H5FILTER",
     "RiceConfig",
+    "enable_persistent_cache",
     "rice_k",
     "compress",
     "decompress",

@@ -83,25 +83,26 @@ def cmd_compress(args):
     )
     with _open(args.src) as fs, _open(args.dst, "w") as fd:
         dset = _pick_dataset(fs, args.dataset)
-        data = dset[()]
         length = args.wavelength or (
-            data.shape[-1] if data.ndim == 2 else -1
+            dset.shape[-1] if dset.ndim == 2 else -1
         )
         cfg = RiceConfig(args.m, length, filt)
         chunks = None
-        if data.ndim == 2:
-            rows = args.chunk_rows or min(data.shape[0], 32)
-            chunks = (min(rows, data.shape[0]), data.shape[1])
+        if dset.ndim == 2:
+            rows = args.chunk_rows or min(dset.shape[0], 32)
+            chunks = (min(rows, dset.shape[0]), dset.shape[1])
         t0 = time.time()
+        # the source dataset streams window-by-window through
+        # write_dataset — multi-GB inputs never materialize in host RAM
         out = drh5.write_dataset(
-            fd, args.dataset or dset.name.lstrip("/"), data, cfg, chunks
+            fd, args.dataset or dset.name.lstrip("/"), dset, cfg, chunks
         )
         dt = time.time() - t0
         stored = out.id.get_storage_size()
         print(
-            f"compressed {data.nbytes} -> {stored} bytes "
-            f"({stored / data.nbytes:.1%}) in {dt:.2f}s "
-            f"({data.nbytes / dt / 1e6:.0f} MB/s)"
+            f"compressed {dset.nbytes} -> {stored} bytes "
+            f"({stored / dset.nbytes:.1%}) in {dt:.2f}s "
+            f"({dset.nbytes / dt / 1e6:.0f} MB/s)"
         )
 
 
@@ -110,15 +111,25 @@ def cmd_decompress(args):
 
     with _open(args.src) as fs, _open(args.dst, "w") as fd:
         dset = _pick_dataset(fs, args.dataset)
-        t0 = time.time()
-        data = drh5.read_dataset(dset)
-        dt = time.time() - t0
-        fd.create_dataset(
-            args.dataset or dset.name.lstrip("/"), data=data
+        out = fd.create_dataset(
+            args.dataset or dset.name.lstrip("/"), shape=dset.shape,
+            dtype=dset.dtype, chunks=dset.chunks,
         )
+        shape, chunk_shape = dset.shape, dset.chunks
+        t0 = time.time()
+        # stream chunk windows: constant host memory for any dataset size
+        for off, block in drh5.iter_chunks(dset):
+            sel = tuple(
+                slice(o, min(o + c, s))
+                for o, c, s in zip(off, chunk_shape, shape)
+            )
+            out[sel] = block[
+                tuple(slice(0, s.stop - s.start) for s in sel)
+            ]
+        dt = time.time() - t0
         print(
-            f"decompressed {data.nbytes} bytes in {dt:.2f}s "
-            f"({data.nbytes / dt / 1e6:.0f} MB/s)"
+            f"decompressed {dset.nbytes} bytes in {dt:.2f}s "
+            f"({dset.nbytes / dt / 1e6:.0f} MB/s)"
         )
 
 

@@ -32,7 +32,8 @@ from .config import RiceConfig
 from .ops.prefilter import prefilter_decode, prefilter_encode
 from .ops.rice import codeword_lengths_values, unzigzag, zigzag
 from .ops.pack_xla import pack_bits, unpack_bits
-from .ops.unpack_pallas import pallas_decode_supported, unpack_decode_pallas
+from .ops.unpack_pallas import unpack_decode_pallas
+from .utils.cache import enable_persistent_cache
 
 _WORD_BUCKET = 256  # decode pads segment word counts up to a multiple of this
                     # to bound the number of distinct compiled shapes
@@ -70,6 +71,7 @@ def encode_segments(x: jnp.ndarray, nvalid: jnp.ndarray, cfg: RiceConfig,
     Returns:
       (words (num_segments, max_words) uint32, nwords (num_segments,) int32)
     """
+    enable_persistent_cache()  # first TPU compile costs minutes; persist it
     if method == "auto":
         method = "pallas" if jax.default_backend() == "tpu" else "segsum"
     if method == "pallas":
@@ -99,15 +101,13 @@ def decode_segments(words: jnp.ndarray, n_samples: int, cfg: RiceConfig,
     Returns (num_segments, n_samples) int16 (tail of short segments is
     garbage; callers slice by true counts).
 
-    backend: "pallas" (word-synchronous TPU kernel), "scan" (XLA
-    per-sample scan), or "auto" (pallas on TPU when the shape fits VMEM).
+    backend: "pallas" (word-synchronous TPU kernel; its W-chunked grid
+    bounds VMEM by construction for any stream length), "scan" (XLA
+    per-sample scan), or "auto" (pallas on TPU, scan elsewhere).
     """
+    enable_persistent_cache()  # first TPU compile costs minutes; persist it
     if backend == "auto":
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and pallas_decode_supported(words.shape[-1], cfg.k)
-        )
-        backend = "pallas" if use_pallas else "scan"
+        backend = "pallas" if jax.default_backend() == "tpu" else "scan"
     if backend == "pallas":
         out = unpack_decode_pallas(words, n_samples, cfg.k, cfg.is_delta)
         if cfg.is_delta:
@@ -140,11 +140,16 @@ def compress(data, cfg: RiceConfig = RiceConfig(), method: str = "auto") -> byte
     words, nwords = encode_segments(
         jnp.asarray(padded), jnp.asarray(nvalid), cfg, cfg.max_words(length), method
     )
-    return frame_stream(total, np.asarray(words), np.asarray(nwords))
+    # device->host moves ~actual-compressed bytes, not the 25-bit worst
+    # case: fetch the (tiny) word counts first, then slice on device
+    nw = np.asarray(nwords)
+    w = max(int(nw.max(initial=0)), 1)
+    return frame_stream(total, np.asarray(words[:, :w]), nw)
 
 
 def compress_batch(chunks, cfg: RiceConfig = RiceConfig(),
-                   method: str = "auto") -> list[bytes]:
+                   method: str = "auto", verify: bool = False,
+                   retries: int = 2) -> list[bytes]:
     """Compress many equal-sized chunks in ONE device call.
 
     The per-chunk :func:`compress` pays one kernel dispatch per chunk;
@@ -152,6 +157,14 @@ def compress_batch(chunks, cfg: RiceConfig = RiceConfig(),
     reference's "filter called once per chunk" control flow inverted). All
     chunks must have the same sample count (HDF5 chunks always do — edge
     chunks are stored full-size).
+
+    With ``verify=True`` every stream is decoded back on device and
+    compared to its input; chunks that fail re-dispatch individually up to
+    ``retries`` times (chunks are independent bitstreams, so recovery is
+    per-chunk re-dispatch — the failure-handling the reference lacks: its
+    filter returns -1 and HDF5 aborts the whole I/O operation,
+    ``/root/reference/src/deltaRice.c:474-488``). Persistent failure
+    raises ``RuntimeError``.
     """
     arrs = [as_int16(c).ravel() for c in chunks]
     if not arrs:
@@ -159,6 +172,8 @@ def compress_batch(chunks, cfg: RiceConfig = RiceConfig(),
     total = arrs[0].size
     if any(a.size != total for a in arrs):
         raise ValueError("compress_batch requires equal-sized chunks")
+    if total == 0:  # header-only streams, matching compress()
+        return [np.zeros(1, dtype="<u4").tobytes() for _ in arrs]
     nseg, length, nvalid = _segment_layout(total, cfg)
     nchunks = len(arrs)
     padded = np.zeros((nchunks, nseg, length), dtype=np.int16)
@@ -168,43 +183,98 @@ def compress_batch(chunks, cfg: RiceConfig = RiceConfig(),
         jnp.asarray(np.tile(nvalid, nchunks)),
         cfg, cfg.max_words(length), method,
     )
-    words = np.asarray(words).reshape(nchunks, nseg, -1)
+    # fetch word counts first, then move only ~compressed-size bytes D2H
     nwords = np.asarray(nwords).reshape(nchunks, nseg)
-    return [
+    w = max(int(nwords.max(initial=0)), 1)
+    words = np.asarray(words[:, :w]).reshape(nchunks, nseg, -1)
+    streams = [
         frame_stream(total, words[c], nwords[c]) for c in range(nchunks)
     ]
+    if verify:
+        streams = _verify_retry(arrs, streams, cfg, method, retries)
+    return streams
+
+
+def _verify_retry(arrs, streams, cfg: RiceConfig, method: str,
+                  retries: int) -> list[bytes]:
+    """Round-trip-check every stream; re-dispatch failing chunks.
+
+    One batched decode checks everything; only failing chunks pay the
+    per-chunk retry path.
+    """
+    def bad_indices(idxs, blobs):
+        try:
+            decoded = decompress_batch(blobs, cfg)
+        except ValueError:
+            # a corrupted header poisons the whole batch decode; fall back
+            # to per-stream checks so only the broken chunk retries
+            decoded = []
+            for b in blobs:
+                try:
+                    decoded.append(decompress(b, cfg))
+                except ValueError:
+                    decoded.append(None)
+        return [
+            i for i, out in zip(idxs, decoded)
+            if out is None or not np.array_equal(out, arrs[i])
+        ]
+
+    bad = bad_indices(range(len(streams)), streams)
+    for _ in range(max(retries, 0)):
+        if not bad:
+            break
+        for i in bad:
+            streams[i] = compress(arrs[i], cfg, method)
+        bad = bad_indices(bad, [streams[i] for i in bad])
+    if bad:
+        raise RuntimeError(
+            f"chunks {bad} failed round-trip verification after "
+            f"{retries} retries"
+        )
+    return streams
 
 
 def decompress_batch(streams, cfg: RiceConfig = RiceConfig(),
                      backend: str = "auto") -> list[np.ndarray]:
-    """Decompress many chunks' framed streams in ONE device call.
+    """Decompress many chunks' framed streams in one device call per
+    word-count bucket.
 
-    All streams must describe the same sample count (uniform chunks)."""
+    All streams must describe the same sample count (uniform chunks).
+    Chunks are grouped by their padded word width so one escape-heavy
+    chunk only inflates transfer and compute for its own bucket, not the
+    whole batch."""
     streams = list(streams)
     if not streams:
         return []
     bufs = [np.frombuffer(memoryview(s), dtype="<u4") for s in streams]
-    total = int(bufs[0][0]) if bufs[0].size else 0
-    if any((int(b[0]) if b.size else 0) != total for b in bufs):
+    if any(b.size == 0 for b in bufs):
+        raise ValueError("truncated Delta-Rice stream")
+    total = int(bufs[0][0])
+    if any(int(b[0]) != total for b in bufs):
         raise ValueError("decompress_batch requires equal-sized chunks")
     if total == 0:
         return [np.zeros(0, dtype=np.int16) for _ in bufs]
     nseg, length, _ = _segment_layout(total, cfg)
+    by_bucket: dict[int, list[int]] = {}
     per_chunk = []
-    maxw = 0
-    for buf in bufs:
+    for i, buf in enumerate(bufs):
         counts, starts = walk_headers(buf, nseg)
         per_chunk.append((buf, counts, starts))
-        maxw = max(maxw, int(counts.max(initial=0)))
-    bucket = -(-(maxw + 1) // _WORD_BUCKET) * _WORD_BUCKET
-    words = np.zeros((len(bufs), nseg, bucket), dtype=np.uint32)
-    for c, (buf, counts, starts) in enumerate(per_chunk):
-        words[c] = gather_segments(buf, counts, starts, bucket)
-    out = decode_segments(
-        jnp.asarray(words.reshape(-1, bucket)), length, cfg, backend
-    )
-    out = np.asarray(out).reshape(len(bufs), nseg * length)
-    return [row[:total].copy() for row in out]
+        bucket = -(-(int(counts.max(initial=0)) + 1) // _WORD_BUCKET)
+        by_bucket.setdefault(bucket * _WORD_BUCKET, []).append(i)
+    out: list[np.ndarray | None] = [None] * len(bufs)
+    for bucket, idxs in by_bucket.items():
+        words = np.zeros((len(idxs), nseg, bucket), dtype=np.uint32)
+        for j, i in enumerate(idxs):
+            buf, counts, starts = per_chunk[i]
+            words[j] = gather_segments(buf, counts, starts, bucket)
+        dec = decode_segments(
+            jnp.asarray(words.reshape(-1, bucket)), length, cfg, backend
+        )
+        dec = np.asarray(dec).reshape(len(idxs), nseg * length)
+        for j, i in enumerate(idxs):
+            out[i] = dec[j, :total].copy()
+    return out
 
 
 def decompress(stream, cfg: RiceConfig = RiceConfig(),
@@ -262,9 +332,23 @@ def walk_headers(buf: np.ndarray, nseg: int):
 
     Mirrors the reference's start-location scan (``src/deltaRice.c:319-325``);
     each segment's length header can only be found after the previous one.
+    Runs in the native C library when built (many-thousand-chunk reads pay
+    this walk serially), with a numpy fallback.
     """
+    from .native import codec_lib
+
     counts = np.empty(nseg, dtype=np.int64)
     starts = np.empty(nseg, dtype=np.int64)
+    lib = codec_lib()
+    if lib is not None:
+        buf = np.ascontiguousarray(buf)
+        rc = lib.dr_walk_headers(
+            buf.ctypes.data, buf.size, nseg,
+            counts.ctypes.data, starts.ctypes.data,
+        )
+        if rc != 0:
+            raise ValueError("truncated Delta-Rice stream")
+        return counts, starts
     pos = 1
     for i in range(nseg):
         if pos >= buf.size:
@@ -280,11 +364,24 @@ def walk_headers(buf: np.ndarray, nseg: int):
 
 def gather_segments(buf: np.ndarray, counts: np.ndarray, starts: np.ndarray,
                     bucket: int = _WORD_BUCKET) -> np.ndarray:
-    """Scatter the ragged per-segment words into a padded dense matrix."""
+    """Scatter the ragged per-segment words into a padded dense matrix
+    (native C + OpenMP when built, numpy fallback)."""
+    from .native import codec_lib
+
     nseg = counts.shape[0]
     maxw = int(counts.max(initial=0)) + 1  # +1 pad word for the 64-bit window
     maxw = -(-maxw // bucket) * bucket
     words = np.zeros((nseg, maxw), dtype=np.uint32)
+    lib = codec_lib()
+    if lib is not None:
+        buf = np.ascontiguousarray(buf)
+        counts = np.ascontiguousarray(counts, dtype=np.int64)
+        starts = np.ascontiguousarray(starts, dtype=np.int64)
+        lib.dr_gather_rows(
+            buf.ctypes.data, nseg, counts.ctypes.data, starts.ctypes.data,
+            maxw, words.ctypes.data,
+        )
+        return words
     seg_of = np.repeat(np.arange(nseg, dtype=np.int64), counts)
     within = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
         np.cumsum(counts) - counts, counts

@@ -72,63 +72,120 @@ def create_dataset(group, name, shape, cfg: RiceConfig | None = None,
     )
 
 
+#: chunks per device batch in the streaming windows: bounds host memory at
+#: ~window x chunk size while keeping device dispatches large
+DEFAULT_BATCH_CHUNKS = 64
+
+
+def _windows(seq, n):
+    for i in range(0, len(seq), n):
+        yield seq[i : i + n]
+
+
 def write_dataset(group, name, data, cfg: RiceConfig | None = None,
-                  chunks=None, method: str = "auto"):
+                  chunks=None, method: str = "auto",
+                  batch_chunks: int = DEFAULT_BATCH_CHUNKS,
+                  verify: bool = False):
     """Create + fill a dataset by compressing chunks on device and writing
-    the raw streams with ``write_direct_chunk`` (libhdf5 runs no filter)."""
-    data = np.asarray(data)
+    the raw streams with ``write_direct_chunk`` (libhdf5 runs no filter).
+
+    ``data`` may be a numpy array or any sliceable array-like — including
+    an open h5py dataset — and is consumed ``batch_chunks`` chunks at a
+    time, so multi-GB datasets stream through constant host memory (the
+    analog of the reference filter pipeline's chunk-at-a-time operation,
+    ``/root/reference/src/deltaRice.c:468-489``, batched for the device).
+    ``verify=True`` round-trip-checks every chunk on device and
+    re-dispatches failures per chunk before anything reaches the file.
+    """
     cfg = cfg or RiceConfig()
+    shape = tuple(data.shape)
     dset = create_dataset(
-        group, name, data.shape, cfg, chunks, dtype=data.dtype
+        group, name, shape, cfg, chunks, dtype=data.dtype
     )
     chunk_shape = dset.chunks
-    offsets, blocks = [], []
-    for _idx, off in _chunk_grid(data.shape, chunk_shape):
-        sel = tuple(
-            slice(o, min(o + c, s))
-            for o, c, s in zip(off, chunk_shape, data.shape)
-        )
-        block = data[sel]
-        if block.shape != chunk_shape:  # edge chunk: zero-pad to full size
-            full = np.zeros(chunk_shape, dtype=data.dtype)
-            full[tuple(slice(0, b) for b in block.shape)] = block
-            block = full
-        offsets.append(off)
-        blocks.append(block)
-    # one device call for all chunks (the reference runs the filter once
-    # per chunk; here the chunk axis is just more batch)
-    for off, blob in zip(offsets, codec.compress_batch(blocks, cfg, method)):
-        dset.id.write_direct_chunk(off, blob)
+    grid = list(_chunk_grid(shape, chunk_shape))
+    for window in _windows(grid, max(1, batch_chunks)):
+        offsets, blocks = [], []
+        for _idx, off in window:
+            sel = tuple(
+                slice(o, min(o + c, s))
+                for o, c, s in zip(off, chunk_shape, shape)
+            )
+            block = np.asarray(data[sel])
+            if block.shape != chunk_shape:  # edge chunk: zero-pad full size
+                full = np.zeros(chunk_shape, dtype=data.dtype)
+                full[tuple(slice(0, b) for b in block.shape)] = block
+                block = full
+            offsets.append(off)
+            blocks.append(block)
+        # one device call per window (the reference runs the filter once
+        # per chunk; here the chunk axis is just more batch)
+        for off, blob in zip(
+            offsets, codec.compress_batch(blocks, cfg, method, verify=verify)
+        ):
+            dset.id.write_direct_chunk(off, blob)
     return dset
 
 
-def read_dataset(dset, cfg: RiceConfig | None = None) -> np.ndarray:
-    """Read a deltarice-compressed dataset without running the HDF5 filter:
-    raw chunk streams come back via ``read_direct_chunk`` and decode on
-    device. Works on files written by the reference plugin too."""
+def iter_chunks(dset, cfg: RiceConfig | None = None,
+                batch_chunks: int = DEFAULT_BATCH_CHUNKS):
+    """Yield ``(offset, chunk_array)`` for every chunk of a
+    deltarice-compressed dataset, decoding ``batch_chunks`` chunks per
+    device call — constant host memory for any dataset size. Chunk arrays
+    are full chunk-shaped (edge chunks included, zero-padded as stored)."""
     cfg = cfg or dataset_config(dset)
     shape = dset.shape
     chunk_shape = dset.chunks
-    out = np.empty(shape, dtype=dset.dtype)
     itemsize = np.dtype(dset.dtype).itemsize
     nsamp16 = int(np.prod(chunk_shape)) * itemsize // 2
-    offsets, blobs = [], []
-    for _idx, off in _chunk_grid(shape, chunk_shape):
-        _mask, blob = dset.id.read_direct_chunk(off)
-        offsets.append(off)
-        blobs.append(blob)
-    # one device call for all chunks
-    for off, flat in zip(offsets, codec.decompress_batch(blobs, cfg)):
-        if flat.size != nsamp16:
-            raise ValueError(
-                f"chunk at {off}: expected {nsamp16} samples, got {flat.size}"
-            )
-        block = flat.view(dset.dtype).reshape(chunk_shape)
+    filter_bit = _deltarice_filter_bit(dset)
+    grid = list(_chunk_grid(shape, chunk_shape))
+    for window in _windows(grid, max(1, batch_chunks)):
+        offsets, blobs, raw = [], [], []
+        for _idx, off in window:
+            mask, blob = dset.id.read_direct_chunk(off)
+            if mask & filter_bit:
+                # filter marked optional and skipped at write time: the
+                # stored bytes ARE the samples, not a compressed stream
+                raw.append((off, np.frombuffer(blob, dtype=np.int16)))
+            else:
+                offsets.append(off)
+                blobs.append(blob)
+        decoded = codec.decompress_batch(blobs, cfg) if blobs else []
+        for off, flat in list(zip(offsets, decoded)) + raw:
+            if flat.size != nsamp16:
+                raise ValueError(
+                    f"chunk at {off}: expected {nsamp16} samples, "
+                    f"got {flat.size}"
+                )
+            yield off, flat.view(dset.dtype).reshape(chunk_shape)
+
+
+def read_dataset(dset, cfg: RiceConfig | None = None,
+                 batch_chunks: int = DEFAULT_BATCH_CHUNKS) -> np.ndarray:
+    """Read a deltarice-compressed dataset without running the HDF5 filter:
+    raw chunk streams come back via ``read_direct_chunk`` and decode on
+    device, ``batch_chunks`` chunks per device call (bounded intermediate
+    memory). Works on files written by the reference plugin too."""
+    shape = dset.shape
+    chunk_shape = dset.chunks
+    out = np.empty(shape, dtype=dset.dtype)
+    for off, block in iter_chunks(dset, cfg, batch_chunks):
         sel = tuple(
             slice(o, min(o + c, s)) for o, c, s in zip(off, chunk_shape, shape)
         )
         out[sel] = block[tuple(slice(0, s.stop - s.start) for s in sel)]
     return out
+
+
+def _deltarice_filter_bit(dset) -> int:
+    """Bit in ``read_direct_chunk``'s filter mask that marks the deltarice
+    filter as *skipped* for a chunk (bit i = i-th pipeline filter)."""
+    plist = dset.id.get_create_plist()
+    for i in range(plist.get_nfilters()):
+        if plist.get_filter(i)[0] == H5FILTER:
+            return 1 << i
+    return 0
 
 
 def register_h5_filter() -> bool:

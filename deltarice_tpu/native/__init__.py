@@ -39,6 +39,42 @@ def build(verbose: bool = False) -> Path:
     return build_library(verbose=verbose)
 
 
+_codec_lib: "ctypes.CDLL | None | bool" = False  # False = not yet tried
+
+
+def codec_lib() -> "ctypes.CDLL | None":
+    """The native codec library for host-side helpers (header walk,
+    ragged gather), or None if it isn't built and can't be. Cached."""
+    global _codec_lib
+    if _codec_lib is False:
+        lib = None
+        if is_built() or _try_build():
+            try:
+                lib = ctypes.CDLL(str(library_path()))
+                lib.dr_walk_headers.restype = ctypes.c_int
+                lib.dr_walk_headers.argtypes = [
+                    ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+                    ctypes.c_void_p, ctypes.c_void_p,
+                ]
+                lib.dr_gather_rows.restype = None
+                lib.dr_gather_rows.argtypes = [
+                    ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+                ]
+            except (OSError, AttributeError):
+                lib = None  # stale library without the helpers
+        _codec_lib = lib
+    return _codec_lib
+
+
+def _try_build() -> bool:
+    try:
+        build()
+    except Exception:
+        return False
+    return True
+
+
 def register_with_h5py() -> bool:
     """Load the native filter and register it into h5py's HDF5.
 

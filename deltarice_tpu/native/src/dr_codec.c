@@ -331,3 +331,41 @@ int dr_decompress(const uint32_t *words, size_t n_words,
   *out_n = total;
   return 0;
 }
+
+/* ---- host-side framing helpers for the Python direct-chunk reader ----
+ *
+ * The header walk is inherently serial (each segment's length header is
+ * found only after the previous one, mirroring the reference's start-
+ * location scan, src/deltaRice.c:319-325). The Python loop costs ~1 us
+ * per segment in the interpreter; a many-thousand-chunk read pays that
+ * serially, so the walk and the ragged->padded gather are exported here
+ * at C speed. */
+
+int dr_walk_headers(const uint32_t *buf, size_t n_words, size_t nseg,
+                    int64_t *counts, int64_t *starts) {
+  size_t pos = 1;
+  for (size_t s = 0; s < nseg; s++) {
+    if (pos >= n_words) return -1;
+    size_t c = buf[pos];
+    if (c > n_words - pos - 1) return -1;
+    counts[s] = (int64_t)c;
+    starts[s] = (int64_t)pos;
+    pos += c + 1;
+  }
+  return 0;
+}
+
+/* Copy each segment's words into row s of the (nseg, bucket) matrix
+ * `out` (caller zero-fills; rows keep >= 1 trailing zero pad word as the
+ * decoder's 64-bit window requires — the walk guarantees c + 1 <= bucket
+ * is checked by the caller's bucket choice). */
+void dr_gather_rows(const uint32_t *buf, size_t nseg, const int64_t *counts,
+                    const int64_t *starts, size_t bucket, uint32_t *out) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (size_t s = 0; s < nseg; s++) {
+    memcpy(out + s * bucket, buf + starts[s] + 1,
+           (size_t)counts[s] * sizeof(uint32_t));
+  }
+}

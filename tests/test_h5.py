@@ -31,7 +31,9 @@ def test_write_read_roundtrip(tmp_path):
         drh5.write_dataset(f, "waveforms", x, cfg, chunks=(8, 700))
     with h5py.File(tmp_path / "t.h5", "r") as f:
         dset = f["waveforms"]
-        assert dset.compression is None or True  # unknown filter: h5py won't name it
+        # h5py can't name the (to it unknown) filter, but the dcpl must
+        # carry our filter id + config so files are self-describing
+        assert drh5.dataset_config(dset) == cfg
         got = drh5.read_dataset(dset)
     np.testing.assert_array_equal(got, x)
 
