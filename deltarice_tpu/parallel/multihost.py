@@ -13,25 +13,44 @@ Single-process usage works unchanged (the "gather" is a no-op view); under
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 from ..config import RiceConfig
-from ..codec import frame_stream
-from .sharded import CHUNK_AXIS, chunk_mesh, encode_chunks_sharded, put_sharded
+from ..codec import frame_stream, gather_segments, walk_headers
+from .sharded import (
+    CHUNK_AXIS,
+    chunk_mesh,
+    decode_chunks_sharded,
+    encode_chunks_sharded,
+    put_sharded,
+)
 
 
 def initialize_distributed(**kwargs) -> None:
-    """``jax.distributed.initialize`` passthrough (idempotent)."""
-    if jax.process_count() == 1 and not kwargs:
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass  # single-process / already initialized
-    elif kwargs:
+    """``jax.distributed.initialize`` passthrough (idempotent).
+
+    With explicit ``kwargs`` (coordinator_address, num_processes,
+    process_id, ...) any initialization failure propagates — a
+    misconfigured cluster must not silently fall back to single-process.
+    Without kwargs, initialization runs only when a coordinator is
+    configured in the environment; otherwise this is a single-process
+    no-op.
+    """
+    if jax.distributed.is_initialized():
+        return
+    if kwargs:
         jax.distributed.initialize(**kwargs)
+        return
+    if any(
+        os.environ.get(v)
+        for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    ):
+        jax.distributed.initialize()
 
 
 def encode_chunks_multihost(batch: np.ndarray, cfg: RiceConfig,
@@ -61,17 +80,71 @@ def encode_chunks_multihost(batch: np.ndarray, cfg: RiceConfig,
     )
 
     # gather to the writer: fully-addressable single-process arrays convert
-    # directly; multi-process needs a process-level allgather
+    # directly; multi-process needs a process-level allgather. The (tiny)
+    # word counts gather first so the word gather moves ~compressed-size
+    # data, not the 25-bit worst-case padding.
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        words = multihost_utils.process_allgather(words, tiled=True)
         nwords = multihost_utils.process_allgather(nwords, tiled=True)
+        w = max(int(nwords.max(initial=0)), 1)
+        words = multihost_utils.process_allgather(
+            words[:, :, :w], tiled=True
+        )
         if jax.process_index() != 0:
             return None
-    words = np.asarray(words)
-    nwords = np.asarray(nwords)
+    else:
+        nwords = np.asarray(nwords)
+        w = max(int(nwords.max(initial=0)), 1)
+        words = np.asarray(words[:, :, :w])
     total = nseg * length
     return [
         frame_stream(total, words[c], nwords[c]) for c in range(nchunks)
     ]
+
+
+def decode_chunks_multihost(streams, cfg: RiceConfig,
+                            mesh=None) -> np.ndarray | None:
+    """Decode per-chunk framed byte streams across all hosts' devices — the
+    read-side counterpart of :func:`encode_chunks_multihost` (the reference
+    read path, ``/root/reference/src/deltaRice.c:301-358``, at pod scale).
+
+    Every process passes the same ``streams`` list (direct-chunk reads are
+    host-cheap, so each host reads the full blob list; the device work is
+    what shards). The header walk and ragged→padded segment gather run on
+    the host, the decode fans out over the global mesh, and the decoded
+    samples gather to process 0: returns ``(num_chunks, total_samples)``
+    int16 there, ``None`` on other processes (single-process: always the
+    array).
+    """
+    mesh = mesh or chunk_mesh()
+    streams = list(streams)
+    if not streams:
+        return np.zeros((0, 0), dtype=np.int16)
+    bufs = [np.frombuffer(memoryview(s), dtype="<u4") for s in streams]
+    if any(b.size == 0 for b in bufs):
+        raise ValueError("truncated Delta-Rice stream")
+    total = int(bufs[0][0])
+    if any(int(b[0]) != total for b in bufs):
+        raise ValueError("multihost decode requires equal-sized chunks")
+    nseg, length, _ = cfg.segments(total)
+    per_chunk = [walk_headers(buf, nseg) for buf in bufs]
+    maxw = max(int(c.max(initial=0)) for c, _ in per_chunk)
+    bucket = -(-(maxw + 1) // 256) * 256
+    nchunks = len(bufs)
+    ndev = mesh.devices.size
+    pad = (-nchunks) % ndev
+    words = np.zeros((nchunks + pad, nseg, bucket), dtype=np.uint32)
+    for i, (buf, (counts, starts)) in enumerate(zip(bufs, per_chunk)):
+        words[i] = gather_segments(buf, counts, starts, bucket)
+    out = decode_chunks_sharded(
+        put_sharded(words, mesh), length, cfg, mesh
+    )
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        out = multihost_utils.process_allgather(out, tiled=True)
+        if jax.process_index() != 0:
+            return None
+    out = np.asarray(out).reshape(nchunks + pad, nseg * length)
+    return out[:nchunks, :total]
