@@ -16,6 +16,7 @@ values of k evaluate simultaneously on another.
 
 from __future__ import annotations
 
+import functools
 import itertools
 
 import jax
@@ -23,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import ESCAPE_LEN, ESCAPE_Q, RiceConfig
-from .ops.prefilter import prefilter_encode
+from .ops.prefilter import _c16, _shift_right, prefilter_encode
 from .ops.rice import zigzag
 
 _KS = 16  # candidate k values: 0..15 (M = 1..32768)
@@ -61,12 +62,49 @@ def optimal_m(data, filt=(1, -1)) -> int:
     return 1 << k
 
 
-def _filter_cost(x: jnp.ndarray, filt: tuple[int, ...]) -> tuple[int, float]:
-    """(best k, bits/sample at best k) for one candidate filter."""
-    d = prefilter_encode(x, filt)
-    bits = _bits_all_k(d)
-    k = int(jnp.argmin(bits))
-    return k, float(bits[k])
+@functools.partial(jax.jit, static_argnums=(2,))
+def _batch_filter_bits(x: jnp.ndarray, filts: jnp.ndarray,
+                       n_taps: int) -> jnp.ndarray:
+    """Mean bits/sample for EVERY (candidate filter, k) pair in one
+    dispatch: candidate filters batch on a ``vmap`` axis, all 16 k values
+    on another — the reference's documented routine
+    (``/root/reference/docs/Optimization.md:14-21``) fully vectorized.
+
+    x: (S, L) int16 sample waveforms.
+    filts: (C, n_taps) int32, coefficients already wrapped mod 2**16.
+    Returns (C, 16) float32.
+    """
+    xs = [
+        _shift_right(x, j).astype(jnp.int32) for j in range(n_taps)
+    ]
+
+    def one(f):
+        acc = xs[0] * f[0]
+        for j in range(1, n_taps):
+            acc = acc + xs[j] * f[j]
+        # per-tap int16 accumulation in the reference wraps mod 2**16 —
+        # a ring homomorphism, so wrapping the int32 sum once is identical
+        d = ((acc << 16) >> 16).astype(jnp.int16)
+        return _bits_all_k(d)
+
+    return jax.vmap(one)(filts)
+
+
+def _filter_costs(x: jnp.ndarray, cands: list[tuple[int, ...]],
+                  pad_to: int) -> list[tuple[int, float]]:
+    """(best k, bits at best k) for each candidate, one jit call.
+
+    The candidate batch pads to a fixed size so every hill-climb round
+    reuses one compiled program.
+    """
+    n_taps = len(cands[0])
+    rows = cands + [cands[0]] * (pad_to - len(cands))
+    filts = jnp.asarray(
+        [[int(_c16(c)) for c in f] for f in rows], dtype=jnp.int32
+    )
+    bits = np.asarray(_batch_filter_bits(x, filts, n_taps))[: len(cands)]
+    ks = bits.argmin(axis=1)
+    return [(int(k), float(b[k])) for k, b in zip(ks, bits)]
 
 
 def _neighbors(filt: tuple[int, ...], span: int):
@@ -97,19 +135,23 @@ def optimize(data, n_taps: int = 2, span: int = 1, start=None,
     if cur[-1] == 0 and n_taps > 1:
         cur = cur[:-1] + (-1,)
     memo: dict[tuple[int, ...], tuple[int, float]] = {}
+    pad_to = (2 * span + 1) ** n_taps  # one compiled shape for every round
 
-    def cost(f: tuple[int, ...]) -> tuple[int, float]:
-        if f not in memo:
-            memo[f] = _filter_cost(x, f)
-        return memo[f]
+    def costs(fs: list[tuple[int, ...]]) -> None:
+        fresh = [f for f in fs if f not in memo]
+        if fresh:
+            for f, kb in zip(fresh, _filter_costs(x, fresh, pad_to)):
+                memo[f] = kb
 
-    best_k, best_bits = cost(cur)
+    costs([cur])
+    best_k, best_bits = memo[cur]
     for _ in range(max_rounds):
+        # lossless reconstruction requires |filt[0]| == 1
+        cands = [c for c in _neighbors(cur, span) if abs(c[0]) == 1]
+        costs(cands)  # whole neighborhood in ONE device call
         improved = False
-        for cand in _neighbors(cur, span):
-            if abs(cand[0]) != 1:
-                continue  # lossless reconstruction requires |filt[0]| == 1
-            k, bits = cost(cand)
+        for cand in cands:
+            k, bits = memo[cand]
             if bits < best_bits:
                 cur, best_k, best_bits, improved = cand, k, bits, True
         if not improved:

@@ -85,6 +85,22 @@ def test_expected_bits_predicts_ratio():
     assert abs(actual_bits - bits) / bits < 0.05, (bits, actual_bits)
 
 
+def test_batched_filter_costs_match_scalar_eval():
+    """The one-dispatch neighborhood evaluation must agree with the scalar
+    per-filter cost path (expected_bits) for every candidate."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    x = np.round(np.cumsum(rng.normal(0, 6, (4, 1500)), axis=-1)).astype(
+        np.int16
+    )
+    cands = [(1, -1), (1, -2), (2, -1), (1, 0), (-1, 1)]
+    batch = opt._filter_costs(jnp.asarray(x), cands, pad_to=9)
+    for f, (k, bits) in zip(cands, batch):
+        want = opt.expected_bits(x, 1 << k, f)
+        assert abs(bits - want) < 1e-4, (f, bits, want)
+
+
 def test_optimize_recovers_delta_on_random_walk():
     rng = np.random.default_rng(4)
     x = np.round(np.cumsum(rng.normal(0, 10, (4, 3000)), axis=-1)).astype(
