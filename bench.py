@@ -58,6 +58,21 @@ def _timeit(fn, *args, iters: int = 60, sync_cost: float = 0.0):
 
 
 def main():
+    import sys
+
+    if "--file" in sys.argv:
+        # end-to-end HDF5 file<->RAM mode (reference headline metric):
+        # ours-native vs reference-C through the identical h5py pipeline,
+        # plus the TPU direct-chunk path. See tools/bench_file.py.
+        sys.path.insert(0, "tools")
+        import bench_file
+
+        mb = 64.0
+        if "--mb" in sys.argv:
+            mb = float(sys.argv[sys.argv.index("--mb") + 1])
+        print(json.dumps(bench_file.run(mb=mb)))
+        return
+
     nseg, length = 1024, 7000  # ~14.3 MB of int16 per batch
     cfg = RiceConfig(8, length)
     rng = np.random.default_rng(0)

@@ -69,7 +69,7 @@ PROFILES: dict[str, DatasetProfile] = {
     ),
     "nedm": DatasetProfile(
         name="nedm",
-        waveform_length=16384,
+        waveform_length=81920,
         rice_m=16,
         published_ratio=0.27,
         noise_sigma=16.0,

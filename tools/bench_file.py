@@ -1,0 +1,234 @@
+"""End-to-end HDF5 file<->RAM benchmark — the reference's headline metric
+(``/root/reference/docs/Performance.md:3-25``: tmpfs file, h5py, 10x
+repeats). Three comparators run on THIS host against the same data:
+
+* ``tpu``        — this framework's direct-chunk path (device codec).
+* ``native``     — this framework's C filter plugin (OpenMP) through the
+                   standard h5py filter pipeline.
+* ``reference``  — the reference C filter (compiled unmodified from
+                   /root/reference) through the same h5py pipeline,
+                   registered via ``h5py.h5z.register_filter``.
+
+Prints one JSON line. Invoked as ``python bench.py --file``.
+
+NOTE on this development environment: the TPU is behind a loopback relay
+with ~20-40 MB/s host<->device bandwidth and ~30 ms per synchronization,
+so the ``tpu`` comparator's *file* numbers here are transfer-bound three
+orders of magnitude below the device codec throughput (see
+docs/Performance.md "Measurement methodology"); the JSON reports the
+measured host<->device bandwidth alongside so the two effects separate.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _nab_data(mb: float, length: int = 7000, chunk_rows: int = 32):
+    rows_per_chunk_bytes = chunk_rows * length * 2
+    nchunks = max(1, int(mb * 1e6) // rows_per_chunk_bytes)
+    rows = nchunks * chunk_rows
+    rng = np.random.default_rng(0)
+    x = np.cumsum(
+        np.round(rng.normal(0, 10, (rows, length))), axis=-1
+    ).astype(np.int16)
+    return x
+
+
+class _RefFilter:
+    """Register/unregister the reference C filter class into h5py's HDF5."""
+
+    def __init__(self):
+        import h5py
+
+        from deltarice_tpu.testing.oracle import _LIB_PATH, oracle_available
+
+        if not oracle_available():
+            raise RuntimeError("reference oracle library unavailable")
+        self._h5z = h5py.h5z
+        self._lib = ctypes.CDLL(str(_LIB_PATH))
+
+        class H5ZClass2(ctypes.Structure):
+            _fields_ = [
+                ("version", ctypes.c_int),
+                ("id", ctypes.c_int),
+                ("encoder_present", ctypes.c_uint),
+                ("decoder_present", ctypes.c_uint),
+                ("name", ctypes.c_char_p),
+                ("can_apply", ctypes.c_void_p),
+                ("set_local", ctypes.c_void_p),
+                ("filter", ctypes.c_void_p),
+            ]
+
+        self._cls = H5ZClass2(
+            1, 32025, 1, 1, b"deltarice (reference)", None, None,
+            ctypes.cast(self._lib.H5Z_filter_deltarice, ctypes.c_void_p),
+        )
+
+    def __enter__(self):
+        self._h5z.register_filter(ctypes.addressof(self._cls))
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            self._h5z.unregister_filter(32025)
+        except Exception:
+            pass
+
+
+class _OurFilter:
+    """Register/unregister this framework's native C plugin."""
+
+    def __enter__(self):
+        import h5py
+
+        from deltarice_tpu.native import register_with_h5py
+
+        if not register_with_h5py():
+            raise RuntimeError("native plugin registration failed")
+        self._h5z = h5py.h5z
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            self._h5z.unregister_filter(32025)
+        except Exception:
+            pass
+
+
+def _time_pipeline(path, x, cd_values, iters):
+    """Write + read through the h5py filter pipeline (filter must be
+    registered). Returns (write_MBps, read_MBps, stored_bytes)."""
+    import h5py
+
+    tw, tr, stored = [], [], 0
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        with h5py.File(path, "w") as f:
+            f.create_dataset(
+                "d", data=x, chunks=(32, x.shape[1]),
+                compression=32025, compression_opts=(8, x.shape[1]),
+            )
+        tw.append(time.perf_counter() - t0)
+        with h5py.File(path, "r") as f:
+            stored = f["d"].id.get_storage_size()
+            t0 = time.perf_counter()
+            got = f["d"][()]
+        tr.append(time.perf_counter() - t0)
+    assert np.array_equal(got, x), "pipeline round-trip failed"
+    mb = x.nbytes / 1e6
+    return mb / min(tw), mb / min(tr), stored
+
+
+def _time_tpu_direct(path, x, cfg, iters):
+    import h5py
+
+    from deltarice_tpu import h5 as drh5
+
+    tw, tr, stored = [], [], 0
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        with h5py.File(path, "w") as f:
+            drh5.write_dataset(f, "d", x, cfg, chunks=(32, x.shape[1]),
+                               batch_chunks=32)
+        tw.append(time.perf_counter() - t0)
+        with h5py.File(path, "r") as f:
+            stored = f["d"].id.get_storage_size()
+            t0 = time.perf_counter()
+            got = drh5.read_dataset(f["d"], batch_chunks=32)
+        tr.append(time.perf_counter() - t0)
+    assert np.array_equal(got, x), "tpu round-trip failed"
+    mb = x.nbytes / 1e6
+    return mb / min(tw), mb / min(tr), stored
+
+
+def _transfer_bw(nbytes: int = 8 << 20):
+    """Measured host->device / device->host bandwidth (MB/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    host = np.zeros(nbytes // 2, np.int16)
+    t0 = time.perf_counter()
+    dev = jax.device_put(host)
+    jax.block_until_ready(dev)
+    _ = float(jnp.sum(dev)[()])  # force real sync through the relay
+    h2d = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    back = np.asarray(dev)
+    d2h = time.perf_counter() - t0
+    del back
+    return nbytes / 1e6 / h2d, nbytes / 1e6 / d2h
+
+
+def run(mb: float = 64, iters: int = 3, workdir: str | None = None) -> dict:
+    import jax
+
+    from deltarice_tpu.config import RiceConfig
+
+    x = _nab_data(mb)
+    length = x.shape[1]
+    cfg = RiceConfig(8, length)
+    base = Path(workdir or ("/dev/shm" if Path("/dev/shm").is_dir()
+                            else "/tmp"))
+    base = base / "deltarice_bench"
+    base.mkdir(exist_ok=True)
+
+    results = {}
+    h2d, d2h = _transfer_bw()
+    w, r, stored = _time_tpu_direct(base / "tpu.h5", x, cfg, iters)
+    results["tpu_direct_chunk"] = {
+        "write_MBps": round(w, 1), "read_MBps": round(r, 1),
+        "ratio": round(stored / x.nbytes, 3),
+    }
+    with _OurFilter():
+        w, r, stored = _time_pipeline(base / "ours.h5", x,
+                                      (8, length), iters)
+    results["native_plugin_omp"] = {
+        "write_MBps": round(w, 1), "read_MBps": round(r, 1),
+        "ratio": round(stored / x.nbytes, 3),
+    }
+    with _RefFilter():
+        w, r, stored = _time_pipeline(base / "ref.h5", x, (8, length), iters)
+    results["reference_filter_omp"] = {
+        "write_MBps": round(w, 1), "read_MBps": round(r, 1),
+        "ratio": round(stored / x.nbytes, 3),
+    }
+
+    ours = results["native_plugin_omp"]
+    ref = results["reference_filter_omp"]
+    hm = lambda a, b: 2.0 / (1.0 / a + 1.0 / b)
+    return {
+        "metric": "HDF5 file<->RAM throughput on this host (tmpfs, Nab-shaped)",
+        "value": round(hm(ours["write_MBps"], ours["read_MBps"]), 1),
+        "unit": "MB/s",
+        "vs_baseline": round(
+            hm(ours["write_MBps"], ours["read_MBps"])
+            / hm(ref["write_MBps"], ref["read_MBps"]), 3,
+        ),
+        "detail": {
+            "file_MB": round(x.nbytes / 1e6, 1),
+            "threads": __import__("os").cpu_count(),
+            "comparators": results,
+            "relay_H2D_MBps": round(h2d, 1),
+            "relay_D2H_MBps": round(d2h, 1),
+            "platform": jax.devices()[0].platform,
+            "note": (
+                "value/vs_baseline compare OUR native OpenMP filter vs the "
+                "reference filter, both through the identical h5py pipeline "
+                "on this host; the tpu_direct_chunk comparator is bound by "
+                "the development relay's host<->device link, not the codec "
+                "(see docs/Performance.md)"
+            ),
+        },
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(run()))

@@ -1,0 +1,140 @@
+"""Device-codec benchmarks for every published geometry + stress regimes.
+
+Covers the reference's three published datasets
+(``/root/reference/docs/Performance.md``): Nab (1024x7000, M=8), nEDM@SNS
+(32x81920, M=16), NOPTREX (32x500000, M=8) — plus the regimes the single
+Nab bench can't see: an M sweep (BASELINE config 2) and escape-heavy
+(incompressible) data. Relay-corrected timing per docs/Performance.md.
+
+Usage: python tools/bench_geometries.py [--out GEOMETRY_BENCH.json]
+       [--only nab,nedm,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from deltarice_tpu.codec import decode_segments, encode_segments
+from deltarice_tpu.config import RiceConfig
+
+
+def _sync(x):
+    leaves = jax.tree_util.tree_leaves(x)
+    return float(jnp.sum(leaves[0].ravel()[0])[()])
+
+
+def _sync_cost(iters: int = 10) -> float:
+    tiny = jnp.ones((8, 128), jnp.int32)
+    f = jax.jit(lambda a: jnp.sum(a))
+    _sync(f(tiny))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _sync(f(tiny))
+    return (time.perf_counter() - t0) / iters
+
+
+def _timeit(fn, *args, iters: int, sync_cost: float) -> float:
+    _sync(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return max(time.perf_counter() - t0 - sync_cost, 1e-9) / iters
+
+
+def bench_config(name: str, x: np.ndarray, cfg: RiceConfig, iters: int,
+                 sync_cost: float) -> dict:
+    nseg, length = x.shape
+    xd = jnp.asarray(x)
+    nvalid = jnp.full((nseg,), length, dtype=jnp.int32)
+    max_words = cfg.max_words(length)
+    enc = lambda: encode_segments(xd, nvalid, cfg, max_words, "pallas")
+    t_enc = _timeit(enc, iters=iters, sync_cost=sync_cost)
+    words, nwords = enc()
+    w = int(np.asarray(nwords).max()) + 1
+    w = -(-w // 256) * 256
+    wd = jnp.asarray(np.asarray(words[:, :w]))
+    dec = lambda: decode_segments(wd, length, cfg, "pallas")
+    t_dec = _timeit(dec, iters=iters, sync_cost=sync_cost)
+    out = np.asarray(dec())
+    assert np.array_equal(out, x), f"{name}: round-trip failed"
+    ratio = (
+        4.0 * (1 + nseg + int(np.asarray(nwords).sum())) / x.nbytes
+    )
+    nb = x.nbytes
+    return {
+        "config": name,
+        "shape": [nseg, length],
+        "m": cfg.m,
+        "encode_GBps": round(nb / t_enc / 1e9, 3),
+        "decode_GBps": round(nb / t_dec / 1e9, 3),
+        "ratio": round(ratio, 3),
+    }
+
+
+def make_data(kind: str, shape, sigma: float, seed=0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    if kind == "uniform":  # incompressible: every sample escapes
+        return rng.integers(-32768, 32768, shape).astype(np.int16)
+    return np.cumsum(
+        np.round(rng.normal(0, sigma, shape)), axis=-1
+    ).astype(np.int16)
+
+
+CONFIGS = {
+    # published geometries (docs/Performance.md:14,27,38); nEDM/NOPTREX
+    # batch up to >=1024 segments so the kernels' lane grid stays full
+    "nab": lambda: (make_data("walk", (1024, 7000), 10.0),
+                    RiceConfig(8, 7000)),
+    "nedm": lambda: (make_data("walk", (1024, 81920), 16.0),
+                     RiceConfig(16, 81920)),
+    "noptrex": lambda: (make_data("walk", (64, 500000), 8.0),
+                        RiceConfig(8, 500000)),
+    # BASELINE config 2: M sweep on Nab-shaped data
+    "nab_m2": lambda: (make_data("walk", (1024, 7000), 10.0),
+                       RiceConfig(2, 7000)),
+    "nab_m32": lambda: (make_data("walk", (1024, 7000), 10.0),
+                        RiceConfig(32, 7000)),
+    # escape-heavy worst case (reference test_worst_case analog, at scale)
+    "escape_uniform": lambda: (make_data("uniform", (1024, 7000), 0.0),
+                               RiceConfig(8, 7000)),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    names = args.only.split(",") if args.only else list(CONFIGS)
+    sync_cost = _sync_cost()
+    rows = []
+    for name in names:
+        x, cfg = CONFIGS[name]()
+        iters = max(3, min(args.iters, int(3e8 / x.nbytes) + 3))
+        row = bench_config(name, x, cfg, iters, sync_cost)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    report = {
+        "metric": "device codec throughput across published geometries",
+        "platform": jax.devices()[0].platform,
+        "sync_cost_ms": round(sync_cost * 1e3, 2),
+        "rows": rows,
+    }
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+    print(json.dumps({"summary": {r["config"]: r["encode_GBps"]
+                                  for r in rows}}))
+
+
+if __name__ == "__main__":
+    main()
