@@ -20,12 +20,10 @@ import ctypes
 import os
 from pathlib import Path
 
-_LIB_DIR = Path(__file__).resolve().parent / "lib"
-_LIB_NAME = "libh5deltarice_tpu.so"
-
-
 def library_path() -> Path:
-    return _LIB_DIR / _LIB_NAME
+    from .build import _LIB  # platform-dependent name (.so/.dylib/.dll)
+
+    return _LIB
 
 
 def is_built() -> bool:

@@ -67,26 +67,6 @@ static int is_delta(const dr_config *cfg) {
 /* pre-filter (wrapping int16 arithmetic)                             */
 /* ------------------------------------------------------------------ */
 
-static void prefilter_apply(const int16_t *x, int16_t *d, size_t n,
-                            const dr_config *cfg) {
-  if (is_delta(cfg)) {
-    int16_t prev = 0;
-    for (size_t i = 0; i < n; i++) {
-      int16_t cur = x[i];
-      d[i] = (int16_t)(cur - prev); /* first sample verbatim (prev=0) */
-      prev = cur;
-    }
-    return;
-  }
-  for (size_t i = 0; i < n; i++) {
-    int16_t acc = 0;
-    size_t jmax = cfg->filt_len - 1 < i ? cfg->filt_len - 1 : i;
-    for (size_t j = 0; j <= jmax; j++)
-      acc = (int16_t)(acc + (int16_t)(x[i - j] * (int16_t)cfg->filt[j]));
-    d[i] = acc;
-  }
-}
-
 static void prefilter_invert(int16_t *d, size_t n, const dr_config *cfg) {
   if (is_delta(cfg)) {
     int16_t run = 0;
@@ -119,19 +99,6 @@ static inline int16_t unzigzag16(uint32_t u) {
   return (int16_t)((u >> 1) ^ (uint32_t)-(int32_t)(u & 1));
 }
 
-/* exact bit length of one sample's codeword */
-static inline unsigned code_bits(uint32_t u, int k) {
-  uint32_t q = u >> k;
-  return q >= DR_ESCAPE_Q ? DR_ESCAPE_BITS : (unsigned)(q + 1 + k);
-}
-
-/* Phase 1: exact packed word count for one filtered segment. */
-static size_t count_words(const int16_t *d, size_t n, int k) {
-  uint64_t bits = 0;
-  for (size_t i = 0; i < n; i++) bits += code_bits(zigzag16(d[i]), k);
-  return (size_t)((bits + 31) / 32);
-}
-
 typedef struct {
   uint32_t *dst;
   uint64_t reg;  /* bits accumulate at the top, flushed 32 at a time */
@@ -153,17 +120,37 @@ static void bw_finish(dr_bitwriter *w) {
   if (w->nbits > 0) w->dst[w->pos++] = (uint32_t)(w->reg >> 32);
 }
 
-/* Phase 2: pack one filtered segment at a known offset. */
-static size_t pack_segment(const int16_t *d, size_t n, int k, uint32_t *dst) {
+static inline void bw_emit(dr_bitwriter *w, int16_t d, int k) {
+  uint32_t u = zigzag16(d);
+  uint32_t q = u >> k;
+  if (q < DR_ESCAPE_Q) {
+    /* q zeros, 1, k-bit remainder — emitted as one (q+1+k)-bit value */
+    bw_put(w, (1u << k) | (u & ((1u << k) - 1)), q + 1 + (unsigned)k);
+  } else {
+    bw_put(w, (1u << 16) | (u & 0xFFFFu), DR_ESCAPE_BITS);
+  }
+}
+
+/* Filter + Rice-pack one raw segment in a single pass (the pre-filter is
+ * applied on the fly, so the int16 data is read exactly once and no
+ * intermediate filtered array is ever materialized). */
+static size_t pack_segment_raw(const int16_t *x, size_t n,
+                               const dr_config *cfg, uint32_t *dst) {
   dr_bitwriter w = {dst, 0, 0, 0};
-  for (size_t i = 0; i < n; i++) {
-    uint32_t u = zigzag16(d[i]);
-    uint32_t q = u >> k;
-    if (q < DR_ESCAPE_Q) {
-      /* q zeros, 1, k-bit remainder — emitted as one (q+1+k)-bit value */
-      bw_put(&w, (1u << k) | (u & ((1u << k) - 1)), q + 1 + (unsigned)k);
-    } else {
-      bw_put(&w, (1u << 16) | (u & 0xFFFFu), DR_ESCAPE_BITS);
+  if (is_delta(cfg)) {
+    int16_t prev = 0;
+    for (size_t i = 0; i < n; i++) {
+      int16_t cur = x[i];
+      bw_emit(&w, (int16_t)(cur - prev), cfg->k);
+      prev = cur;
+    }
+  } else {
+    for (size_t i = 0; i < n; i++) {
+      int16_t acc = 0;
+      size_t jmax = cfg->filt_len - 1 < i ? cfg->filt_len - 1 : i;
+      for (size_t j = 0; j <= jmax; j++)
+        acc = (int16_t)(acc + (int16_t)(x[i - j] * (int16_t)cfg->filt[j]));
+      bw_emit(&w, acc, cfg->k);
     }
   }
   bw_finish(&w);
@@ -231,23 +218,29 @@ int dr_compress(const int16_t *samples, size_t n, const dr_config *cfg,
   size_t nseg, seg_len;
   segment_layout(n, cfg, &nseg, &seg_len);
 
-  int16_t *filtered = (int16_t *)malloc(n ? n * sizeof(int16_t) : 1);
+  /* Single fused pass: each segment filter+packs straight into its slot
+   * of an escape-bound scratch (25 bits/sample worst case), then a
+   * parallel compaction memcpy assembles the exact-size framed stream.
+   * One read of the input + one copy of the compressed words — about
+   * half the memory traffic of a count-then-pack two-phase scheme. */
+  size_t max_w = seg_len ? (seg_len * DR_ESCAPE_BITS + 31) / 32 + 1 : 1;
+  uint32_t *scratch =
+      (uint32_t *)malloc((nseg ? nseg * max_w : 1) * sizeof(uint32_t));
   size_t *words = (size_t *)malloc((nseg + 1) * sizeof(size_t));
-  if (!filtered || !words) {
-    free(filtered);
+  if (!scratch || !words) {
+    free(scratch);
     free(words);
     return -1;
   }
 
-  /* phase 1: filter + exact per-segment sizes */
 #if defined(_OPENMP)
 #pragma omp parallel for schedule(static)
 #endif
   for (size_t s = 0; s < nseg; s++) {
     size_t off = s * seg_len;
     size_t len = s + 1 == nseg ? n - off : seg_len;
-    prefilter_apply(samples + off, filtered + off, len, cfg);
-    words[s + 1] = count_words(filtered + off, len, cfg->k);
+    words[s + 1] = pack_segment_raw(samples + off, len, cfg,
+                                    scratch + s * max_w);
   }
   words[0] = 0;
   for (size_t s = 0; s < nseg; s++) words[s + 1] += words[s];
@@ -255,26 +248,23 @@ int dr_compress(const int16_t *samples, size_t n, const dr_config *cfg,
   size_t total_words = 1 + nseg + words[nseg];
   uint32_t *dst = (uint32_t *)malloc(total_words * sizeof(uint32_t));
   if (!dst) {
-    free(filtered);
+    free(scratch);
     free(words);
     return -1;
   }
   dst[0] = (uint32_t)n;
 
-  /* phase 2: pack each segment at its final offset */
 #if defined(_OPENMP)
 #pragma omp parallel for schedule(static)
 #endif
   for (size_t s = 0; s < nseg; s++) {
-    size_t off = s * seg_len;
-    size_t len = s + 1 == nseg ? n - off : seg_len;
-    uint32_t *seg_dst = dst + 1 + s + 1 + words[s];
-    size_t got = pack_segment(filtered + off, len, cfg->k, seg_dst);
-    dst[1 + s + words[s]] = (uint32_t)got;
-    (void)got;
+    size_t nw = words[s + 1] - words[s];
+    dst[1 + s + words[s]] = (uint32_t)nw;
+    memcpy(dst + 2 + s + words[s], scratch + s * max_w,
+           nw * sizeof(uint32_t));
   }
 
-  free(filtered);
+  free(scratch);
   free(words);
   *out = dst;
   *out_words = total_words;

@@ -93,16 +93,16 @@ def test_decode_segments_auto_picks_pallas():
 
 
 @tpu_only
-def test_long_waveforms_noptrex_style():
-    """100k-sample waveforms (NOPTREX benchmarks 500k) through both
-    kernels, byte-checked against the XLA encoder."""
+def test_long_waveforms_noptrex_geometry():
+    """500k-sample waveforms — the published NOPTREX segment length
+    (reference docs/Performance.md:38) — through both Mosaic kernels."""
     rng = np.random.default_rng(7)
-    x = np.round(np.cumsum(rng.normal(0, 8, (4, 100000)), axis=-1)).astype(
+    x = np.round(np.cumsum(rng.normal(0, 8, (4, 500000)), axis=-1)).astype(
         np.int16
     )
     import deltarice_tpu as drt
 
-    cfg = RiceConfig(8, 100000)
+    cfg = RiceConfig(8, 500000)
     blob = drt.compress(x, cfg, method="pallas")
     rt = drt.decompress(blob, cfg, backend="pallas")
     np.testing.assert_array_equal(rt.reshape(4, -1), x)

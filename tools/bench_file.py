@@ -155,6 +155,9 @@ def _transfer_bw(nbytes: int = 8 << 20):
     import jax.numpy as jnp
 
     host = np.zeros(nbytes // 2, np.int16)
+    # warm up: compile the sync program + first transfer outside the timing
+    warm = jax.device_put(host[:1024])
+    _ = float(jnp.sum(warm)[()])
     t0 = time.perf_counter()
     dev = jax.device_put(host)
     jax.block_until_ready(dev)
