@@ -103,6 +103,27 @@ def _run(planes: tuple[jnp.ndarray, ...], n_out: int):
     return [o[:rows, :n_out] for o in outs]
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def concentrate_packed(planes, n_out: int, wide: bool):
+    """Concentrate pre-packed ``disp << 16 | halfword`` planes.
+
+    Producers that already know each element's displacement (the Mosaic
+    codec kernels) emit planes in this layout directly, skipping the
+    XLA packing pass below — XLA cannot fuse elementwise producers into
+    a ``pallas_call``, so that pass costs a full HBM round trip of the
+    staging arrays per plane. Dead slots must be ``INT32_MIN``.
+
+    planes: tuple of (rows, R) int32 packed planes (1 for 16-bit
+      payloads, 2 — high then low halfword — for 32-bit).
+    wide: True to reassemble a uint32 payload from two planes.
+    """
+    outs = _run(tuple(planes), n_out)
+    if wide:
+        hi, lo = outs
+        return ((hi << 16) | (lo & 0xFFFF)).astype(jnp.uint32)
+    return outs[0]
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def concentrate_pallas(values: jnp.ndarray, disp: jnp.ndarray, n_out: int):
     """Drop-in TPU replacement for :func:`.concentrate.concentrate`.

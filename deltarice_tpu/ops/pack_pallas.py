@@ -16,7 +16,15 @@ the same architecture as the decode kernel (:mod:`.unpack_pallas`):
 * **Concentration placement.** Emission slots are in stream order
   (destinations strictly increasing), so the final packed stream comes
   from butterfly concentration (:mod:`.concentrate`) — ~14 shift+select
-  passes; gathers/scatters/sorts never appear.
+  passes; gathers/scatters/sorts never appear. For slot axes < 2**15 the
+  kernel emits the concentration's packed ``disp << 16 | halfword``
+  planes directly (XLA cannot fuse producers into a ``pallas_call``, so
+  a separate packing pass would round-trip the staging through HBM).
+* **In-kernel tail flush.** The slot grid always has at least one
+  inactive slot at index ``length`` (one extra sample chunk is added
+  when ``length`` is chunk-aligned); the last grid step writes each
+  segment's final partial word there, so no separate tail column is
+  ever concatenated on the host/XLA side.
 * **Sample-chunked sequential grid** carries (accumulator, bit count,
   word count, previous sample) across chunks in VMEM scratch so any
   segment length fits VMEM.
@@ -31,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import ESCAPE_LEN, ESCAPE_Q
+from ..config import ESCAPE_Q
 
 _U32 = jnp.uint32
 _LANES = 128
@@ -39,27 +47,32 @@ _SB = 8
 _GROUP = 16          # samples per inner unrolled group
 _CHUNK = 512         # samples per grid step
 _INVALID = 0x7FFFFFFF  # int32 max as a python constant (traced scalars cannot be captured by kernels)
+_DEAD = -(1 << 31)   # dead slot marker of the packed concentration planes
 
 
-def _pack_kernel(x_ref, nvalid_ref, wstage_ref, kstage_ref, finw_ref,
-                 fink_ref, nw_ref, carry_ref, scratch_ref, *, sc: int,
-                 k: int, diff: bool):
+def _pack_kernel(x_ref, nvalid_ref, wstage_ref, kstage_ref, nw_ref,
+                 carry_ref, scratch_ref, *, sc: int, k: int, diff: bool,
+                 packed: bool, tail_row: int):
     """One grid step: encode ``sc`` samples of 1024 segments.
 
     x_ref:      (sc*8, 128) int16 — row i*8+s is sample i of group s.
     nvalid_ref: (8, 128) int32 — valid samples per segment.
-    wstage_ref: (sc*8, 128) uint32 — emitted word of sample slot i (or 0).
-    kstage_ref: (sc*8, 128) int32 — word index key (INT32_MAX if no word).
-    finw/fink/nw_ref: (8, 128) — final partial word, its key, total words.
+    wstage_ref: (sc*8, 128) — emitted word of sample slot i (or 0), as
+                uint32; with ``packed``, int32 concentration plane
+                ``disp << 16 | word-high-half`` (dead = INT32_MIN).
+    kstage_ref: (sc*8, 128) int32 — word index key (INT32_MAX if no
+                word); with ``packed``, the low-half plane.
+    nw_ref:     (8, 128) int32 — total words (written by the last step).
     carry_ref:  (40, 128) int32 scratch — prev/pos/n/acc_hi/acc_lo.
-    scratch_ref:(2*GROUP*8, 128) int32 — per-group staging (words, keys).
+    scratch_ref:(2*GROUP*8, 128) int32 — per-group staging.
+    tail_row:   static staging row (within the last chunk's block) of
+                slot ``length``, where the final partial word lands.
     """
     c = pl.program_id(1)
 
     @pl.when(c == 0)
     def _():
         carry_ref[:, :] = jnp.zeros_like(carry_ref)
-        fink_ref[:, :] = jnp.full_like(fink_ref[:, :], _INVALID)
 
     prev = carry_ref[0:8, :]
     pos = carry_ref[8:16, :]
@@ -84,7 +97,7 @@ def _pack_kernel(x_ref, nvalid_ref, wstage_ref, kstage_ref, finw_ref,
                 prev = jnp.where(active, xi, prev)
             else:
                 d = xi
-            u = jnp.where(d >= 0, d << 1, (-d << 1) - 1).astype(_U32)
+            u = ((d << 1) ^ (d >> 31)).astype(_U32)  # branchless zigzag
             q = (u >> k).astype(jnp.int32)
             esc = q >= ESCAPE_Q
             # q+1+k for q<8, 25 = 8+1+16 for the escape
@@ -108,17 +121,29 @@ def _pack_kernel(x_ref, nvalid_ref, wstage_ref, kstage_ref, finw_ref,
             alo = alo | lo_add
             pos = pos + clen
             emit = pos >= 32
-            scratch_ref[tt * _SB : (tt + 1) * _SB, :] = jnp.where(
-                emit, ahi, _U32(0)
-            ).astype(jnp.int32)
-            scratch_ref[(_GROUP + tt) * _SB : (_GROUP + tt + 1) * _SB, :] = (
-                jnp.where(emit, n, _INVALID)
-            )
+            if packed:
+                disp = (gidx - n) << 16
+                wi = ahi.astype(jnp.int32)
+                scratch_ref[tt * _SB : (tt + 1) * _SB, :] = jnp.where(
+                    emit, disp | ((wi >> 16) & 0xFFFF), _DEAD
+                )
+                scratch_ref[(_GROUP + tt) * _SB : (_GROUP + tt + 1) * _SB, :] = (
+                    jnp.where(emit, disp | (wi & 0xFFFF), _DEAD)
+                )
+            else:
+                scratch_ref[tt * _SB : (tt + 1) * _SB, :] = jnp.where(
+                    emit, ahi, _U32(0)
+                ).astype(jnp.int32)
+                scratch_ref[(_GROUP + tt) * _SB : (_GROUP + tt + 1) * _SB, :] = (
+                    jnp.where(emit, n, _INVALID)
+                )
             ahi = jnp.where(emit, alo, ahi)
             alo = jnp.where(emit, _U32(0), alo)
             pos = jnp.where(emit, pos - 32, pos)
             n = n + emit.astype(jnp.int32)
-        wstage_ref[pl.ds(row0, gsz), :] = scratch_ref[0:gsz, :].astype(_U32)
+        wstage_ref[pl.ds(row0, gsz), :] = scratch_ref[0:gsz, :].astype(
+            wstage_ref.dtype
+        )
         kstage_ref[pl.ds(row0, gsz), :] = scratch_ref[gsz : 2 * gsz, :]
         return prev, pos, n, ahi, alo
 
@@ -130,11 +155,29 @@ def _pack_kernel(x_ref, nvalid_ref, wstage_ref, kstage_ref, finw_ref,
     carry_ref[16:24, :] = n
     carry_ref[24:32, :] = ahi.astype(jnp.int32)
     carry_ref[32:40, :] = alo.astype(jnp.int32)
-    # final flush (rewritten every chunk; the last chunk's values win)
-    has_tail = pos > 0
-    finw_ref[:, :] = jnp.where(has_tail, ahi, _U32(0))
-    fink_ref[:, :] = jnp.where(has_tail, n, _INVALID)
-    nw_ref[:, :] = n + has_tail.astype(jnp.int32)
+
+    # tail flush: slot ``length`` is inactive for every segment (lp >
+    # length by construction), so the final partial word takes it over
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _():
+        has_tail = pos > 0
+        if packed:
+            dispt = ((c * sc + tail_row // _SB) - n) << 16
+            wi = ahi.astype(jnp.int32)
+            wstage_ref[tail_row : tail_row + _SB, :] = jnp.where(
+                has_tail, dispt | ((wi >> 16) & 0xFFFF), _DEAD
+            ).astype(wstage_ref.dtype)
+            kstage_ref[tail_row : tail_row + _SB, :] = jnp.where(
+                has_tail, dispt | (wi & 0xFFFF), _DEAD
+            )
+        else:
+            wstage_ref[tail_row : tail_row + _SB, :] = jnp.where(
+                has_tail, ahi, _U32(0)
+            ).astype(wstage_ref.dtype)
+            kstage_ref[tail_row : tail_row + _SB, :] = jnp.where(
+                has_tail, n, _INVALID
+            )
+        nw_ref[:, :] = n + has_tail.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
@@ -144,11 +187,15 @@ def pack_encode_pallas(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
     ONE program: Mosaic kernel -> concentration placement.
     Returns (words (S, max_words) uint32, nwords (S,)).
     """
-    wstage, kstage, finw, fink, nwords = _encode_kernel_program(
-        x, nvalid, k, diff
-    )
-    words = _placement(wstage, kstage, finw, fink, max_words)
+    packed = _is_packed(x.shape[1])
+    wstage, kstage, nwords = _encode_kernel_program(x, nvalid, k, diff)
+    words = _placement(wstage, kstage, max_words, packed)
     return words, nwords
+
+
+def _is_packed(length: int) -> bool:
+    """Packed-plane emission requires displacements < 2**15."""
+    return (length // _CHUNK + 1) * _CHUNK < (1 << 15)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -160,8 +207,11 @@ def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
     bseg = _SB * _LANES
     blocks = -(-nseg // bseg)
     sc = _CHUNK
-    n_chunks = -(-length // sc)
+    # always leave >= 1 inactive slot so the tail flush has a home at
+    # slot ``length`` (adds one whole chunk when length is chunk-aligned)
+    n_chunks = length // sc + 1
     lp = n_chunks * sc
+    packed = lp < (1 << 15)
     x = jnp.pad(x, ((0, blocks * bseg - nseg), (0, lp - length)))
     nv = jnp.pad(nvalid.astype(jnp.int32), (0, blocks * bseg - nseg))
 
@@ -170,7 +220,11 @@ def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
     xt = xt.reshape(blocks, lp * _SB, _LANES)
     nv3 = nv.reshape(blocks, _SB, _LANES)
 
-    kern = functools.partial(_pack_kernel, sc=sc, k=k, diff=diff)
+    tail_row = (length - (n_chunks - 1) * sc) * _SB
+    kern = functools.partial(
+        _pack_kernel, sc=sc, k=k, diff=diff, packed=packed,
+        tail_row=tail_row,
+    )
     gsz = _GROUP * _SB
     out = pl.pallas_call(
         kern,
@@ -188,16 +242,13 @@ def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, _SB, _LANES), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, _SB, _LANES), lambda b, c: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, _SB, _LANES), lambda b, c: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((blocks, lp * _SB, _LANES), jnp.uint32),
+            jax.ShapeDtypeStruct(
+                (blocks, lp * _SB, _LANES),
+                jnp.int32 if packed else jnp.uint32,
+            ),
             jax.ShapeDtypeStruct((blocks, lp * _SB, _LANES), jnp.int32),
-            jax.ShapeDtypeStruct((blocks, _SB, _LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((blocks, _SB, _LANES), jnp.int32),
             jax.ShapeDtypeStruct((blocks, _SB, _LANES), jnp.int32),
         ],
         scratch_shapes=[
@@ -205,7 +256,7 @@ def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
             pltpu.VMEM((2 * gsz, _LANES), jnp.int32),
         ],
     )(xt, nv3)
-    wstage, kstage, finw, fink, nw = out
+    wstage, kstage, nw = out
 
     def untile(a):
         rows = a.shape[1] // _SB
@@ -214,28 +265,33 @@ def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
 
     wstage = untile(wstage)
     kstage = untile(kstage)
-    finw = finw.reshape(blocks * bseg)[:nseg]
-    fink = fink.reshape(blocks * bseg)[:nseg]
     nw = nw.reshape(blocks * bseg)[:nseg]
-    return wstage, kstage, finw, fink, nw
+    return wstage, kstage, nw
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
-def _placement(wstage, kstage, finw, fink, max_words: int):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _placement(wstage, kstage, max_words: int, packed: bool):
     """Pack emitted words densely by stream index.
 
     Emission slots are in stream order (slot = sample index, destinations
     strictly increasing), i.e. "sorted with gaps" — exactly the butterfly
     concentration precondition, which costs ~14 shift+select passes instead
-    of a ~196-pass sort network.
+    of a ~196-pass sort network. In packed mode the kernel already emitted
+    the concentration's hi/lo planes; otherwise (slot axis >= 2**15, where
+    displacements outgrow the packed 15-bit field) the XLA two-plane
+    butterfly routes (value, key) staging.
     """
-    from .concentrate_pallas import concentrate_pallas
+    n_out = min(max_words, wstage.shape[1])
+    if packed:
+        from .concentrate_pallas import concentrate_packed
 
-    keys = jnp.concatenate([kstage, fink[:, None]], axis=1)
-    vals = jnp.concatenate([wstage, finw[:, None]], axis=1)
-    slot = jnp.arange(keys.shape[1], dtype=jnp.int32)[None, :]
-    disp = jnp.where(keys != _INVALID, slot - keys, -1)
-    out = concentrate_pallas(vals, disp, min(max_words, keys.shape[1]))
+        out = concentrate_packed((wstage, kstage), n_out, wide=True)
+    else:
+        from .concentrate_pallas import concentrate_pallas
+
+        slot = jnp.arange(kstage.shape[1], dtype=jnp.int32)[None, :]
+        disp = jnp.where(kstage != _INVALID, slot - kstage, -1)
+        out = concentrate_pallas(wstage, disp, n_out)
     if out.shape[1] < max_words:
         out = jnp.pad(out, ((0, 0), (0, max_words - out.shape[1])))
     return out
