@@ -47,6 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 _U32 = jnp.uint32
 _LANES = 128
 _GROUP = 16  # words per inner unrolled group
+_DEAD = -(1 << 31)  # dead slot marker of the packed concentration planes
 
 
 def codewords_per_word(k: int) -> int:
@@ -99,13 +100,18 @@ def _decode_one(w0, w1, pos, k: int):
 
 
 def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, carry_ref,
-                   scratch_ref, *, wc: int, k: int, delta: bool, sb: int):
+                   scratch_ref, *, wc: int, k: int, delta: bool, sb: int,
+                   packed: bool, n_samples: int):
     """One grid step: decode ``wc`` words of sb*128 segments.
 
     words_ref: (wc*sb, 128) uint32 — row t*sb+s is word t of sublane-group s.
     next_ref:  (GROUP*sb, 128) uint32 — first words of the next chunk.
-    stage_ref: (J*wc*sb, 128) int16 — row (t*J + j)*sb + s (t-major).
-    ntab_ref:  (wc*sb, 128) int32 — samples decoded before word t.
+    stage_ref: (J*wc*sb, 128) — row (t*J + j)*sb + s (t-major); int16
+               sample, or with ``packed`` the int32 concentration plane
+               ``disp << 16 | sample-halfword`` (dead = INT32_MIN).
+    ntab_ref:  (wc*sb, 128) int32 — samples decoded before word t
+               (absent in ``packed`` mode, where the kernel computes the
+               displacement itself and no host-side table is needed).
     carry_ref: (3*sb, 128) int32 scratch — pos / n / acc across chunks.
     scratch_ref: (J*GROUP*sb, 128) int32 scratch — staging for one group.
     """
@@ -143,7 +149,8 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, carry_ref,
                 if tt + 1 < _GROUP
                 else nxt0
             )
-            ntab_vals.append(n)
+            if not packed:
+                ntab_vals.append(n)
             for j in range(j_max):
                 active = pos < 32
                 u, clen = _decode_one(w0, w1, pos, k)
@@ -157,16 +164,25 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, carry_ref,
                 # t-major staging: slot (t, j) at row t*J + j, so valid
                 # slots' sample indices strictly increase along rows — the
                 # precondition for butterfly-concentration compaction
-                scratch_ref[(tt * j_max + j) * sb : (tt * j_max + j + 1) * sb, :] = (
-                    jnp.where(active, out, 0)
-                )
+                if packed:
+                    slot = (c * wc + g * _GROUP + tt) * j_max + j
+                    valid = active & (n < n_samples)
+                    scratch_ref[(tt * j_max + j) * sb : (tt * j_max + j + 1) * sb, :] = (
+                        jnp.where(valid, ((slot - n) << 16) | (out & 0xFFFF),
+                                  _DEAD)
+                    )
+                else:
+                    scratch_ref[(tt * j_max + j) * sb : (tt * j_max + j + 1) * sb, :] = (
+                        jnp.where(active, out, 0)
+                    )
                 pos = jnp.where(active, pos + clen, pos)
                 n = n + active.astype(jnp.int32)
             pos = pos - 32
         stage_ref[pl.ds(pl.multiple_of(row0 * j_max, gsz), gsz * j_max), :] = (
-            scratch_ref[0 : gsz * j_max, :].astype(jnp.int16)
+            scratch_ref[0 : gsz * j_max, :].astype(stage_ref.dtype)
         )
-        ntab_ref[pl.ds(row0, gsz), :] = jnp.concatenate(ntab_vals, axis=0)
+        if not packed:
+            ntab_ref[pl.ds(row0, gsz), :] = jnp.concatenate(ntab_vals, axis=0)
         return pos, n, acc
 
     pos, n, acc = jax.lax.fori_loop(
@@ -199,13 +215,32 @@ def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
     nseg = words.shape[0]
     sb = _sublane_factor(nseg)
     wc = _chunk_words(k, sb)
+    j_max = codewords_per_word(k)
+    n_chunks = -(-words.shape[1] // wc)
+    # packed-plane emission needs every displacement to fit the plane's
+    # 15-bit field. Every word contains >= 1 codeword start (pos < 32 at
+    # each word boundary), so slot (t, j)'s destination n(t)+j satisfies
+    # n(t) >= t and disp = t*j_max - n(t) <= (W-1)*(j_max-1).
+    if (n_chunks * wc - 1) * (j_max - 1) < (1 << 15):
+        from .concentrate_pallas import concentrate_packed
+
+        plane = _kernel_program(
+            words, k, delta, sb, wc, interpret, n_samples
+        )
+        out = concentrate_packed((plane,), n_samples, wide=False)
+        return ((out << 16) >> 16).astype(jnp.int16)
     stage, ntab = _kernel_program(words, k, delta, sb, wc, interpret)
-    return _compaction(stage, ntab, n_samples, wc, codewords_per_word(k))
+    return _compaction(stage, ntab, n_samples, wc, j_max)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
-                    wc: int, interpret: bool = False):
+                    wc: int, interpret: bool = False,
+                    packed_n_samples: int | None = None):
+    """Run the decode kernel. With ``packed_n_samples`` set the kernel
+    emits one int32 packed concentration plane (``disp << 16 | sample``);
+    otherwise an int16 sample plane plus the per-word ``ntab`` count
+    table for the XLA displacement build in :func:`_compaction`."""
     from .transpose_pallas import transpose2d
 
     nseg, w_in = words.shape
@@ -213,6 +248,7 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
     bseg = sb * _LANES
     blocks = -(-nseg // bseg)
     n_chunks = -(-w_in // wc)
+    packed = packed_n_samples is not None
     # pad: one whole extra chunk of zero words for the next_ref window
     cols = (n_chunks + 1) * wc
     words = jnp.pad(words, ((0, blocks * bseg - nseg), (0, cols - w_in)))
@@ -226,11 +262,35 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
     )
 
     kern = functools.partial(
-        _unpack_kernel, wc=wc, k=k, delta=delta, sb=sb
+        _unpack_kernel, wc=wc, k=k, delta=delta, sb=sb, packed=packed,
+        n_samples=packed_n_samples if packed else 0,
     )
+    if packed:
+        # single output: the kernel computes displacements itself, so no
+        # ntab table and no XLA displacement pass exist downstream
+        def kern_packed(words_ref, next_ref, stage_ref, carry_ref,
+                        scratch_ref):
+            kern(words_ref, next_ref, stage_ref, None, carry_ref,
+                 scratch_ref)
+
+        body = kern_packed
+    else:
+        body = kern
     gsz = _GROUP * sb
-    stage, ntab = pl.pallas_call(
-        kern,
+    stage_spec = pl.BlockSpec((None, j_max * wc * sb, _LANES),
+                              lambda b, c: (b, c, 0),
+                              memory_space=pltpu.VMEM)
+    stage_shape = jax.ShapeDtypeStruct(
+        (blocks, n_chunks * j_max * wc * sb, _LANES),
+        jnp.int32 if packed else jnp.int16,
+    )
+    ntab_spec = pl.BlockSpec((None, wc * sb, _LANES), lambda b, c: (b, c, 0),
+                             memory_space=pltpu.VMEM)
+    ntab_shape = jax.ShapeDtypeStruct(
+        (blocks, n_chunks * wc * sb, _LANES), jnp.int32
+    )
+    out = pl.pallas_call(
+        body,
         grid=(blocks, n_chunks),
         in_specs=[
             pl.BlockSpec((None, wc * sb, _LANES), lambda b, c: (b, c, 0),
@@ -239,20 +299,8 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
                          lambda b, c: (b, (c + 1) * (wc // _GROUP), 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((None, j_max * wc * sb, _LANES),
-                         lambda b, c: (b, c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, wc * sb, _LANES), lambda b, c: (b, c, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(
-                (blocks, n_chunks * j_max * wc * sb, _LANES), jnp.int16
-            ),
-            jax.ShapeDtypeStruct(
-                (blocks, n_chunks * wc * sb, _LANES), jnp.int32
-            ),
-        ],
+        out_specs=[stage_spec] if packed else [stage_spec, ntab_spec],
+        out_shape=[stage_shape] if packed else [stage_shape, ntab_shape],
         scratch_shapes=[
             pltpu.VMEM((3 * sb, _LANES), jnp.int32),
             pltpu.VMEM((j_max * gsz, _LANES), jnp.int32),
@@ -260,17 +308,15 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
         interpret=interpret,
     )(wt, wt)
 
-    # rows (c, j*wc+t_rel, s) with minor (s, lane) -> per-segment rows
-    rows_s = stage.shape[1] // sb
-    stage = jax.vmap(transpose2d)(stage.reshape(blocks, rows_s, bseg))
-    stage = stage.reshape(blocks * bseg, rows_s)
-    rows_n = ntab.shape[1] // sb
-    ntab = jax.vmap(transpose2d)(ntab.reshape(blocks, rows_n, bseg))
-    ntab = ntab.reshape(blocks * bseg, rows_n)
-    if blocks * bseg != nseg:
-        stage = stage[:nseg]
-        ntab = ntab[:nseg]
-    return stage, ntab
+    def untile(a):
+        # rows (c, j*wc+t_rel, s) with minor (s, lane) -> per-segment rows
+        rows = a.shape[1] // sb
+        t = jax.vmap(transpose2d)(a.reshape(blocks, rows, bseg))
+        return t.reshape(blocks * bseg, rows)[:nseg]
+
+    if packed:
+        return untile(out[0])
+    return untile(out[0]), untile(out[1])
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
