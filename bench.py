@@ -48,13 +48,19 @@ def _sync_cost(iters: int = 10) -> float:
 
 
 def _timeit(fn, *args, iters: int = 60, sync_cost: float = 0.0):
+    """Time ``iters`` queued dispatches, growing ``iters`` until device
+    work dominates the relay's ~30-40 ms sync cost (whose run-to-run
+    variance would otherwise swamp fast kernels)."""
     _sync(fn(*args))  # warmup/compile
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    _sync(outs[-1])
-    dt = time.perf_counter() - t0 - sync_cost
-    del outs
-    return max(dt, 1e-9) / iters
+    while True:
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(iters)]
+        _sync(outs[-1])
+        dt = time.perf_counter() - t0
+        del outs
+        if dt - sync_cost > max(4 * sync_cost, 0.15) or iters >= 2048:
+            return max(dt - sync_cost, 1e-9) / iters
+        iters *= 4
 
 
 def main():

@@ -124,6 +124,143 @@ def concentrate_packed(planes, n_out: int, wide: bool):
     return outs[0]
 
 
+_WBLK = 1 << 14  # column block of the wide kernel (2-block halo window
+         # + ~5 live (8, 2*_WBLK) i32 temporaries per pass must fit VMEM)
+
+
+def _wide_kernel(v1_ref, d1_ref, v2_ref, d2_ref, ov_ref, od_ref, *,
+                 final: bool):
+    """All butterfly passes with stride < _WBLK over a 2-block halo window.
+
+    Processes window [i*B, (i+2)*B) and emits block i. After pass b an
+    element of the output block can have originated at most ``sum(2^0..2^b)
+    = 2^(b+1)-1 < B`` columns to the right, so the halo covers every
+    low-stride pass; the window's right half degrades pass by pass and is
+    discarded. With ``final`` (single-block rows: every displacement
+    < _WBLK) the surviving elements are selected in-kernel and ``od_ref``
+    receives zeros.
+    """
+    w = 2 * _WBLK
+    v = jnp.concatenate([v1_ref[:, :], v2_ref[:, :]], axis=1)
+    d = jnp.concatenate([d1_ref[:, :], d2_ref[:, :]], axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    for b in range(14):
+        s = 1 << b
+        vs = pltpu.roll(v, w - s, axis=1)  # left-roll by s
+        ds = jnp.where(cols < (w - s), pltpu.roll(d, w - s, axis=1), -1)
+        move = (ds >= 0) & ((ds & s) != 0)
+        stay = (d >= 0) & ((d & s) == 0)
+        v = jnp.where(move, vs, v)
+        d = jnp.where(move, ds - s, jnp.where(stay, d, -1))
+    if final:
+        ov_ref[:, :] = jnp.where(d == 0, v, 0)[:, :_WBLK]
+        od_ref[:, :] = jnp.zeros_like(od_ref)
+    else:
+        ov_ref[:, :] = v[:, :_WBLK]
+        od_ref[:, :] = d[:, :_WBLK]
+
+
+def _high_kernel(v_ref, d_ref, ov_ref, *, nb: int):
+    """Block-stride butterfly passes on a (bs, nb, Bc) column stripe.
+
+    After the low-pass sweep every remaining displacement is a multiple
+    of _WBLK, so elements only move between slots {i * _WBLK + o} with a
+    fixed column offset o — i.e. along axis 1 of the (rows, nb, _WBLK)
+    view, which this kernel walks entirely in VMEM (the XLA alternative
+    materializes 4 HBM round-trips per pass). Emits the final payload
+    plane with dead slots zeroed; the displacement plane dies here.
+    """
+    v = v_ref[:, :, :]
+    d = d_ref[:, :, :]
+    h = 0
+    while (1 << h) < nb:
+        s = 1 << h
+        sb = s * _WBLK
+        pad_v = jnp.zeros((v.shape[0], s, v.shape[2]), jnp.int32)
+        pad_d = jnp.full((d.shape[0], s, d.shape[2]), -1, jnp.int32)
+        vs = jnp.concatenate([v[:, s:, :], pad_v], axis=1)
+        ds = jnp.concatenate([d[:, s:, :], pad_d], axis=1)
+        move = (ds >= 0) & ((ds & sb) != 0)
+        stay = (d >= 0) & ((d & sb) == 0)
+        v = jnp.where(move, vs, v)
+        d = jnp.where(move, ds - sb, jnp.where(stay, d, -1))
+        h += 1
+    ov_ref[:, :, :] = jnp.where(d == 0, v, 0)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _concentrate_wide(values: jnp.ndarray, disp: jnp.ndarray, n_out: int):
+    """Concentration for slot axes too wide for the packed planes.
+
+    Keeps (payload, displacement) as two explicit int32 planes, so any
+    displacement < 2**31 routes and 32-bit payloads need no half-word
+    split. Low-stride passes (< _WBLK) all run inside one VMEM kernel
+    sweep; afterwards every remaining displacement is a multiple of
+    _WBLK, so elements move between blocks at a fixed column offset and
+    the ~log2(R/_WBLK) high-stride passes run as cheap XLA selects on a
+    (rows, n_blocks, _WBLK) view.
+    """
+    rows, r = values.shape
+    v = values.astype(jnp.int32)
+    d = disp.astype(jnp.int32)
+    nb = -(-r // _WBLK)
+    rowp = -(-rows // 8) * 8
+    # one extra all-dead block so window (i, i+1) always exists
+    v = jnp.pad(v, ((0, rowp - rows), (0, (nb + 1) * _WBLK - r)))
+    d = jnp.pad(d, ((0, rowp - rows), (0, (nb + 1) * _WBLK - r)),
+                constant_values=-1)
+    kern = functools.partial(_wide_kernel, final=nb == 1)
+    bs = 8
+    ov, od = pl.pallas_call(
+        kern,
+        grid=(rowp // bs, nb),
+        in_specs=[
+            pl.BlockSpec((bs, _WBLK), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, _WBLK), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, _WBLK), lambda i, j: (i, j + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, _WBLK), lambda i, j: (i, j + 1),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bs, _WBLK), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, _WBLK), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rowp, nb * _WBLK), jnp.int32),
+        ] * 2,
+    )(v, d, v, d)
+    if nb > 1:
+        # column-offset stripe (bs, nb, bc): ~6 live i32 temporaries per
+        # pass must fit VMEM, so the stripe narrows as nb grows
+        bc = 2048
+        while bc > 128 and nb * bc > (1 << 15):
+            bc //= 2
+        v3 = ov.reshape(rowp, nb, _WBLK)
+        d3 = od.reshape(rowp, nb, _WBLK)
+        ov = pl.pallas_call(
+            functools.partial(_high_kernel, nb=nb),
+            grid=(rowp // bs, _WBLK // bc),
+            in_specs=[
+                pl.BlockSpec((bs, nb, bc), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bs, nb, bc), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bs, nb, bc), lambda i, j: (i, 0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rowp, nb, _WBLK), jnp.int32),
+        )(v3, d3).reshape(rowp, nb * _WBLK)
+    out = ov[:rows, :n_out]
+    if values.dtype == jnp.int16:
+        return ((out << 16) >> 16).astype(jnp.int16)
+    return out.astype(values.dtype)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def concentrate_pallas(values: jnp.ndarray, disp: jnp.ndarray, n_out: int):
     """Drop-in TPU replacement for :func:`.concentrate.concentrate`.
@@ -137,11 +274,9 @@ def concentrate_pallas(values: jnp.ndarray, disp: jnp.ndarray, n_out: int):
     r = values.shape[1]
     if r >= (1 << 15):
         # displacements no longer fit the packed 15-bit field and a full
-        # row outgrows VMEM; route very long slot axes (NOPTREX-scale
-        # segments) through the XLA two-plane butterfly instead
-        from .concentrate import concentrate
-
-        return concentrate(values, disp, n_out)
+        # row outgrows VMEM; route long slot axes (nEDM/NOPTREX-scale
+        # segments) through the blocked two-plane kernel instead
+        return _concentrate_wide(values, disp, n_out)
     d = disp.astype(jnp.int32)
     base = jnp.where(d < 0, _DEAD, d << 16)
     if values.dtype.itemsize <= 2:

@@ -41,12 +41,19 @@ def _sync_cost(iters: int = 10) -> float:
 
 
 def _timeit(fn, *args, iters: int, sync_cost: float) -> float:
+    """Time ``iters`` queued dispatches, growing ``iters`` until the
+    device work dominates the relay's ~30-40 ms sync cost (whose run-to-
+    run variance would otherwise swamp fast configs)."""
     _sync(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    return max(time.perf_counter() - t0 - sync_cost, 1e-9) / iters
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(out)
+        el = time.perf_counter() - t0
+        if el - sync_cost > max(4 * sync_cost, 0.15) or iters >= 2048:
+            return max(el - sync_cost, 1e-9) / iters
+        iters *= 4
 
 
 def bench_config(name: str, x: np.ndarray, cfg: RiceConfig, iters: int,
@@ -95,7 +102,7 @@ CONFIGS = {
                     RiceConfig(8, 7000)),
     "nedm": lambda: (make_data("walk", (1024, 81920), 16.0),
                      RiceConfig(16, 81920)),
-    "noptrex": lambda: (make_data("walk", (64, 500000), 8.0),
+    "noptrex": lambda: (make_data("walk", (256, 500000), 8.0),
                         RiceConfig(8, 500000)),
     # BASELINE config 2: M sweep on Nab-shaped data
     "nab_m2": lambda: (make_data("walk", (1024, 7000), 10.0),
