@@ -1,0 +1,99 @@
+"""Concentration-placement unit tests.
+
+The codec's compaction layer has three implementations that must agree:
+the XLA butterfly (:mod:`deltarice_tpu.ops.concentrate`, any backend),
+the packed-plane VMEM kernel (``concentrate_pallas``/``concentrate_packed``,
+slot axes < 2**15), and the blocked two-plane kernel (``_concentrate_wide``,
+arbitrary slot axes / displacements — nEDM/NOPTREX-length segments).
+All are checked against a direct numpy compaction model.
+
+The reference has no counterpart (its streams are compacted serially by a
+bit cursor, /root/reference/src/deltaRice.c:191-244); this layer exists
+only in the TPU design.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deltarice_tpu.ops.concentrate import concentrate
+
+tpu_only = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs a TPU for the Mosaic kernel"
+)
+
+
+def make_case(rows, r, density, seed=0, dtype=np.int16):
+    """Random monotone conflict-free (values, disp, dense reference)."""
+    rng = np.random.default_rng(seed)
+    valid = rng.random((rows, r)) < density
+    dest = np.cumsum(valid, axis=1) - 1
+    disp = np.where(valid, np.arange(r)[None, :] - dest, -1).astype(np.int32)
+    info = np.iinfo(dtype)
+    vals = rng.integers(info.min, info.max + 1, (rows, r)).astype(dtype)
+    n_out = max(int(valid.sum(axis=1).max()), 1)
+    dense = np.zeros((rows, n_out), dtype=dtype)
+    for i in range(rows):
+        got = vals[i, valid[i]]
+        dense[i, : got.size] = got
+    return vals, disp, n_out, dense
+
+
+@pytest.mark.parametrize("density", [0.0, 0.1, 0.55, 1.0])
+def test_xla_concentrate_matches_numpy(density):
+    vals, disp, n_out, dense = make_case(16, 1000, density, seed=3)
+    out = np.asarray(concentrate(jnp.asarray(vals), jnp.asarray(disp), n_out))
+    assert np.array_equal(out, dense)
+
+
+@tpu_only
+@pytest.mark.parametrize("r,dtype", [(5000, np.int16), (20480, np.int16),
+                                     (20480, np.uint32)])
+def test_packed_kernel_matches_numpy(r, dtype):
+    from deltarice_tpu.ops.concentrate_pallas import concentrate_pallas
+
+    vals, disp, n_out, dense = make_case(64, r, 0.4, seed=r, dtype=dtype)
+    out = np.asarray(
+        concentrate_pallas(jnp.asarray(vals), jnp.asarray(disp), n_out)
+    )
+    assert np.array_equal(out, dense)
+
+
+@tpu_only
+@pytest.mark.parametrize(
+    "rows,r,dtype",
+    [
+        (16, 40000, np.int16),     # > 2**15: single extra-block window
+        (8, 100352, np.int32),     # nEDM-scale, multi-block + high passes
+        (24, 70000, np.uint32),    # 32-bit payload, no half-word split
+        (8, 600000, np.int16),     # NOPTREX-scale, narrow high stripes
+    ],
+)
+def test_wide_kernel_matches_numpy(rows, r, dtype):
+    from deltarice_tpu.ops.concentrate_pallas import _concentrate_wide
+
+    vals, disp, n_out, dense = make_case(rows, r, 0.35, seed=r, dtype=dtype)
+    out = np.asarray(
+        _concentrate_wide(jnp.asarray(vals), jnp.asarray(disp), n_out)
+    )
+    assert np.array_equal(out, dense)
+
+
+@tpu_only
+def test_wide_kernel_huge_displacement():
+    """A lone valid element at the far right routes across every block."""
+    from deltarice_tpu.ops.concentrate_pallas import _concentrate_wide
+
+    r = 300000
+    vals = np.zeros((8, r), dtype=np.int16)
+    disp = np.full((8, r), -1, dtype=np.int32)
+    vals[:, r - 1] = np.arange(8) + 7
+    disp[:, r - 1] = r - 1  # destination 0
+    out = np.asarray(_concentrate_wide(jnp.asarray(vals), jnp.asarray(disp), 4))
+    expect = np.zeros((8, 4), dtype=np.int16)
+    expect[:, 0] = np.arange(8) + 7
+    assert np.array_equal(out, expect)
