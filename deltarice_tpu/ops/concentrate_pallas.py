@@ -22,6 +22,12 @@ mask. Payloads wider than 16 bits ride as two packed planes (high/low
 half-words) sharing one displacement; routing masks are computed once per
 pass on the first plane's sentinel-free arithmetic (identical across
 planes by construction).
+
+Slot axes >= 2**15 outgrow both the packed 15-bit displacement field and
+a VMEM row; they route through :func:`_concentrate_wide` — explicit
+(payload, displacement) int32 planes, low-stride passes over 2-block halo
+windows, block-stride passes over column stripes — which handles any
+displacement < 2**31 and 32-bit payloads without half-word splitting.
 """
 
 from __future__ import annotations

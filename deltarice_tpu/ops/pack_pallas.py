@@ -211,7 +211,7 @@ def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
     # slot ``length`` (adds one whole chunk when length is chunk-aligned)
     n_chunks = length // sc + 1
     lp = n_chunks * sc
-    packed = lp < (1 << 15)
+    packed = _is_packed(length)
     x = jnp.pad(x, ((0, blocks * bseg - nseg), (0, lp - length)))
     nv = jnp.pad(nvalid.astype(jnp.int32), (0, blocks * bseg - nseg))
 

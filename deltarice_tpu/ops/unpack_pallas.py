@@ -31,8 +31,14 @@ ALU cost. This kernel re-derives decode as a TPU program:
 * **Staging + concentration compaction.** Word t's j-th decoded sample
   lands at staging row t*J + j (t-major), so valid slots' sample indices
   strictly increase along the slot axis; the dense output is then packed
-  by butterfly concentration (:mod:`.concentrate`) — no gathers
-  (~56 Melem/s on TPU), no scatters, no sort.
+  by butterfly concentration (:mod:`.concentrate_pallas`) — no gathers
+  (~56 Melem/s on TPU), no scatters, no sort. When every displacement
+  fits the packed plane's 15-bit field (bound: each word holds >= 1
+  codeword start, so disp <= (W-1)*(J-1)), the kernel computes
+  ``disp = slot - n`` in-register and emits the butterfly's
+  ``disp << 16 | sample`` plane directly — no count table, no XLA
+  displacement build. Wider word axes emit (sample, count-table) staging
+  and route through the blocked two-plane wide kernel.
 """
 
 from __future__ import annotations

@@ -1,12 +1,17 @@
 """Per-stage timing of the encode/decode pipelines (relay-corrected).
 
-Times each jitted sub-program of the Nab-shaped bench config separately so
-optimization targets the real bottleneck. Method per docs/Performance.md:
-queue N dispatches, force one scalar readback, subtract sync cost.
+Times each jitted sub-program of the codec separately so optimization
+targets the real bottleneck. Method per docs/Performance.md: queue N
+dispatches, force one scalar readback, subtract sync cost.
+
+Usage: python tools/profile_stages.py [nseg length M]
+(defaults: the Nab bench config 1024 7000 8; try 1024 81920 16 for the
+nEDM-shaped wide-concentration path)
 """
 
 from __future__ import annotations
 
+import sys
 import time
 
 import numpy as np
@@ -16,12 +21,16 @@ import jax.numpy as jnp
 
 from deltarice_tpu.codec import decode_segments, encode_segments
 from deltarice_tpu.config import RiceConfig
-from deltarice_tpu.ops.pack_pallas import _encode_kernel_program, _placement
+from deltarice_tpu.ops.pack_pallas import (
+    _encode_kernel_program,
+    _is_packed,
+    _placement,
+)
 from deltarice_tpu.ops.unpack_pallas import (
+    _chunk_words,
     _compaction,
     _kernel_program,
     _sublane_factor,
-    _chunk_words,
     codewords_per_word,
 )
 from deltarice_tpu.ops.transpose_pallas import transpose2d
@@ -45,25 +54,33 @@ def sync_cost(iters: int = 10) -> float:
 def timeit(label, fn, *args, iters=30, sc=0.0):
     out = fn(*args)
     _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
-    dt = (time.perf_counter() - t0 - sc) / iters
-    print(f"{label:34s} {dt*1e3:8.3f} ms")
+    while True:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(out)
+        el = time.perf_counter() - t0
+        if el - sc > max(4 * sc, 0.15) or iters >= 4096:
+            break
+        iters *= 4
+    dt = max(el - sc, 1e-9) / iters
+    print(f"{label:34s} {dt*1e3:8.3f} ms  (x{iters})")
     return out, dt
 
 
 def main():
-    nseg, length = 1024, 7000
-    cfg = RiceConfig(8, length)
+    nseg, length, m = 1024, 7000, 8
+    if len(sys.argv) == 4:
+        nseg, length, m = map(int, sys.argv[1:])
+    cfg = RiceConfig(m, length)
     rng = np.random.default_rng(0)
     x = np.cumsum(np.round(rng.normal(0, 10, (nseg, length))), axis=-1).astype(
         np.int16
     )
     sc = sync_cost()
-    print(f"sync cost {sc*1e3:.2f} ms; batch {nseg}x{length} "
-          f"({x.nbytes/1e6:.1f} MB)")
+    print(f"sync cost {sc*1e3:.2f} ms; batch {nseg}x{length} M={m} "
+          f"({x.nbytes/1e6:.1f} MB); encode packed planes: "
+          f"{_is_packed(length)}")
 
     xd = jnp.asarray(x)
     nvalid = jnp.full((nseg,), length, dtype=jnp.int32)
@@ -72,19 +89,18 @@ def main():
     # --- encode total + stages
     _, t_enc = timeit(
         "encode total", lambda: encode_segments(xd, nvalid, cfg, max_words,
-                                                 "pallas"), sc=sc
+                                                "pallas"), sc=sc
     )
-    kp = jax.jit(lambda a, b: _encode_kernel_program(a, b, cfg.k, True))
-    (wst, kst, fw, fk, nw), t_ek = timeit(
-        "  encode kernel prog (w/ transp)", kp, xd, nvalid, sc=sc
+    (wst, kst, nw), t_ek = timeit(
+        "  encode kernel prog (w/ transp)",
+        lambda: _encode_kernel_program(xd, nvalid, cfg.k, True), sc=sc
     )
     _, t_pl = timeit(
         "  placement (concentrate)",
-        jax.jit(lambda a, b, c, d: _placement(a, b, c, d, max_words)),
-        wst, kst, fw, fk, sc=sc,
+        lambda: _placement(wst, kst, max_words, _is_packed(length)), sc=sc,
     )
 
-    # --- decode total + stages
+    # --- decode total + stages (from a realistically-sized word axis)
     words, nwords = encode_segments(xd, nvalid, cfg, max_words, "pallas")
     w = int(np.asarray(nwords).max()) + 1
     w = -(-w // 256) * 256
@@ -96,29 +112,45 @@ def main():
     sb = _sublane_factor(nseg)
     wc = _chunk_words(cfg.k, sb)
     jmax = codewords_per_word(cfg.k)
-    dk = jax.jit(lambda a: _kernel_program(a, cfg.k, True, sb, wc))
-    (stage, ntab), t_dk = timeit(
-        "  decode kernel prog (w/ transp)", dk, wd, sc=sc
-    )
-    _, t_dc = timeit(
-        "  compaction (concentrate)",
-        jax.jit(lambda a, b: _compaction(a, b, length, wc, jmax)),
-        stage, ntab, sc=sc,
-    )
-    print(f"decode stage width R = {stage.shape[1]} (words in {w})")
+    n_chunks = -(-w // wc)
+    dec_packed = (n_chunks * wc - 1) * (jmax - 1) < (1 << 15)
+    print(f"decode packed plane: {dec_packed} "
+          f"(slots {n_chunks * wc * jmax}, words in {w})")
+    if dec_packed:
+        from deltarice_tpu.ops.concentrate_pallas import concentrate_packed
 
-    # --- isolated transposes at the real sizes
-    big16 = jnp.asarray(
-        np.zeros((stage.shape[1], 1024), np.int16)
-    )
-    _, _ = timeit("  transpose2d i16 (R,1024)", transpose2d, big16, sc=sc)
+        plane, t_dk = timeit(
+            "  decode kernel prog (w/ transp)",
+            lambda: _kernel_program(wd, cfg.k, True, sb, wc, False, length),
+            sc=sc,
+        )
+        _, t_dc = timeit(
+            "  compaction (concentrate)",
+            lambda: concentrate_packed((plane,), length, False), sc=sc,
+        )
+    else:
+        (stage, ntab), t_dk = timeit(
+            "  decode kernel prog (w/ transp)",
+            lambda: _kernel_program(wd, cfg.k, True, sb, wc), sc=sc,
+        )
+        _, t_dc = timeit(
+            "  compaction (concentrate)",
+            lambda: _compaction(stage, ntab, length, wc, jmax), sc=sc,
+        )
+
+    # --- isolated transposes at the real staging sizes
+    big16 = jnp.asarray(np.zeros((8192, 1024), np.int16))
+    _, _ = timeit("  transpose2d i16 (8192,1024)", transpose2d, big16, sc=sc)
     big32 = jnp.asarray(np.zeros((8192, 1024), np.int32))
     _, _ = timeit("  transpose2d i32 (8192,1024)", transpose2d, big32, sc=sc)
 
+    nb = x.nbytes
     print(f"\nencode: kernel+transp {t_ek*1e3:.3f} + placement "
-          f"{t_pl*1e3:.3f} vs total {t_enc*1e3:.3f}")
+          f"{t_pl*1e3:.3f} vs total {t_enc*1e3:.3f} ms "
+          f"({nb/t_enc/1e9:.1f} GB/s)")
     print(f"decode: kernel+transp {t_dk*1e3:.3f} + compaction "
-          f"{t_dc*1e3:.3f} vs total {t_dec*1e3:.3f}")
+          f"{t_dc*1e3:.3f} vs total {t_dec*1e3:.3f} ms "
+          f"({nb/t_dec/1e9:.1f} GB/s)")
 
 
 if __name__ == "__main__":
