@@ -166,6 +166,124 @@ def _wide_kernel(v1_ref, d1_ref, v2_ref, d2_ref, ov_ref, od_ref, *,
         od_ref[:, :] = d[:, :_WBLK]
 
 
+def _w16_pass(p, sh, disp_bit: int):
+    """One sign-biased packed-plane pass routing on displacement bit
+    ``disp_bit`` (plane bit 16 + disp_bit).
+
+    The plane stores ``(disp << 16 | halfword) ^ 0x8000_0000`` as int32,
+    so signed ``maximum`` realizes unsigned packed order (Mosaic has no
+    unsigned max) and dead = INT32_MIN — the biased image of
+    disp == 0, val == 0 — which always stays and loses every max. Bits 16..30
+    test unchanged under the bias; the disp-bit-15 pass (plane bit 31)
+    tests inverted. Clearing a set bit needs no borrow, so the move
+    update is a XOR.
+    """
+    bit = 16 + disp_bit
+    if bit == 31:
+        smask = _DEAD  # int32 with only bit 31 set
+        stay = jnp.where((p & smask) != 0, p, _DEAD)
+        move = jnp.where((sh & smask) == 0, sh ^ smask, _DEAD)
+    else:
+        smask = jnp.int32(1 << bit)
+        stay = jnp.where((p & smask) == 0, p, _DEAD)
+        move = jnp.where((sh & smask) != 0, sh ^ smask, _DEAD)
+    return jnp.maximum(stay, move)
+
+
+def _w16_home(p):
+    """Select arrived elements: original disp field == 0 <=> biased
+    bits 16..30 clear and bit 31 set."""
+    return jnp.where((p & jnp.int32(-65536)) == _DEAD, p & 0xFFFF, 0)
+
+
+def _wide16_low_kernel(p1_ref, p2_ref, op_ref, *, final: bool):
+    """Low-stride passes on one sign-biased packed plane (2-block halo).
+
+    Halves both HBM traffic and per-pass ops vs the two-plane
+    :func:`_wide_kernel`; requires payloads <= 16 bits and displacements
+    <= 2**16 - 1 (see :func:`_w16_pass` for the bias scheme).
+    """
+    w = 2 * _WBLK
+    p = jnp.concatenate([p1_ref[:, :], p2_ref[:, :]], axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
+    for b in range(14):
+        s = 1 << b
+        sh = pltpu.roll(p, w - s, axis=1)  # left-roll by s
+        sh = jnp.where(cols < (w - s), sh, _DEAD)
+        p = _w16_pass(p, sh, b)
+    if final:
+        p = _w16_home(p)
+    op_ref[:, :] = p[:, :_WBLK]
+
+
+def _wide16_high_kernel(p_ref, op_ref, *, passes: int):
+    """Block-stride passes + final select on a packed-plane stripe."""
+    p = p_ref[:, :, :]
+    for h in range(passes):
+        s = 1 << h
+        pad = jnp.full((p.shape[0], s, p.shape[2]), _DEAD, jnp.int32)
+        sh = jnp.concatenate([p[:, s:, :], pad], axis=1)
+        p = _w16_pass(p, sh, 14 + h)
+    op_ref[:, :, :] = _w16_home(p)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _concentrate_wide16(values: jnp.ndarray, disp: jnp.ndarray, n_out: int,
+                        disp_bound: int):
+    """Single-plane wide concentration (payload <= 16 bits, disp < 2**16).
+
+    Covers the mid-wide regime between the packed kernel (R < 2**15) and
+    the two-plane :func:`_concentrate_wide` — e.g. decode staging of
+    escape-heavy or low-M streams, whose slot axes outgrow 2**15 while
+    their displacement bound (W-1)*(j_max-1) still fits 16 bits.
+    """
+    rows, r = values.shape
+    d = disp.astype(jnp.int32)
+    val = values.astype(jnp.int32) & 0xFFFF
+    p = jnp.where(d >= 0, ((d << 16) | val) ^ _DEAD, _DEAD)
+    nb = -(-r // _WBLK)
+    rowp = -(-rows // 8) * 8
+    p = jnp.pad(p, ((0, rowp - rows), (0, (nb + 1) * _WBLK - r)),
+                constant_values=_DEAD)
+    # block-stride passes needed: elements move at most disp_bound slots
+    passes = 0
+    while (1 << passes) < nb and (_WBLK << passes) <= disp_bound:
+        passes += 1
+    bs = 8
+    op = pl.pallas_call(
+        functools.partial(_wide16_low_kernel, final=passes == 0),
+        grid=(rowp // bs, nb),
+        in_specs=[
+            pl.BlockSpec((bs, _WBLK), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, _WBLK), lambda i, j: (i, j + 1),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bs, _WBLK), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rowp, nb * _WBLK), jnp.int32),
+    )(p, p)
+    if passes:
+        bc = 2048
+        while bc > 128 and nb * bc > (1 << 16):
+            bc //= 2
+        op = pl.pallas_call(
+            functools.partial(_wide16_high_kernel, passes=passes),
+            grid=(rowp // bs, _WBLK // bc),
+            in_specs=[
+                pl.BlockSpec((bs, nb, bc), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bs, nb, bc), lambda i, j: (i, 0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rowp, nb, _WBLK), jnp.int32),
+        )(op.reshape(rowp, nb, _WBLK)).reshape(rowp, nb * _WBLK)
+    out = op[:rows, :n_out].astype(jnp.int32)
+    if values.dtype == jnp.int16:
+        return ((out << 16) >> 16).astype(jnp.int16)
+    return out.astype(values.dtype)
+
+
 def _high_kernel(v_ref, d_ref, ov_ref, *, nb: int):
     """Block-stride butterfly passes on a (bs, nb, Bc) column stripe.
 
@@ -267,8 +385,9 @@ def _concentrate_wide(values: jnp.ndarray, disp: jnp.ndarray, n_out: int):
     return out.astype(values.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def concentrate_pallas(values: jnp.ndarray, disp: jnp.ndarray, n_out: int):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def concentrate_pallas(values: jnp.ndarray, disp: jnp.ndarray, n_out: int,
+                       disp_bound: int | None = None):
     """Drop-in TPU replacement for :func:`.concentrate.concentrate`.
 
     values: (rows, R) payload (any integer dtype; 16-bit payloads route as
@@ -276,12 +395,17 @@ def concentrate_pallas(values: jnp.ndarray, disp: jnp.ndarray, n_out: int):
     disp: (rows, R) displacement ``slot - destination`` (>= 0 valid,
       monotone, conflict-free), negative for dead slots.
     n_out: static output width.
+    disp_bound: optional static upper bound on every displacement; lets
+      wide 16-bit-payload cases route through the single-plane kernel.
     """
     r = values.shape[1]
     if r >= (1 << 15):
         # displacements no longer fit the packed 15-bit field and a full
         # row outgrows VMEM; route long slot axes (nEDM/NOPTREX-scale
-        # segments) through the blocked two-plane kernel instead
+        # segments) through the blocked wide kernels instead
+        if (disp_bound is not None and disp_bound < (1 << 16)
+                and values.dtype.itemsize <= 2):
+            return _concentrate_wide16(values, disp, n_out, disp_bound)
         return _concentrate_wide(values, disp, n_out)
     d = disp.astype(jnp.int32)
     base = jnp.where(d < 0, _DEAD, d << 16)

@@ -360,4 +360,7 @@ def _compaction(stage: jnp.ndarray, ntab: jnp.ndarray, n_samples: int,
     valid = (j_b < c_b).reshape(nseg, r)
     slot = jnp.arange(r, dtype=jnp.int32)[None, :]
     disp = jnp.where(valid & (dest < n_samples), slot - dest, -1)
-    return concentrate_pallas(stage, disp, n_samples)
+    # every word holds >= 1 codeword start, so disp <= (W-1)*(j_max-1);
+    # the static bound lets 16-bit samples ride the single-plane kernel
+    return concentrate_pallas(stage, disp, n_samples,
+                              (n_words - 1) * (j_max - 1))

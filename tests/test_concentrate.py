@@ -84,6 +84,38 @@ def test_wide_kernel_matches_numpy(rows, r, dtype):
 
 
 @tpu_only
+@pytest.mark.parametrize("r,density", [(49152, 0.5), (40000, 0.9),
+                                       (65536, 0.35)])
+def test_wide16_kernel_matches_numpy(r, density):
+    """Single-plane sign-biased path (16-bit payload, disp < 2**16)."""
+    from deltarice_tpu.ops.concentrate_pallas import _concentrate_wide16
+
+    vals, disp, n_out, dense = make_case(24, r, density, seed=r)
+    bound = int(disp.max())
+    assert bound < (1 << 16), "case must stay in the wide16 regime"
+    out = np.asarray(
+        _concentrate_wide16(jnp.asarray(vals), jnp.asarray(disp), n_out,
+                            bound)
+    )
+    assert np.array_equal(out, dense)
+
+
+@tpu_only
+def test_wide16_dead_collision():
+    """A valid element with value 0 and disp 0 equals the dead word; the
+    output must still be 0 at its destination."""
+    from deltarice_tpu.ops.concentrate_pallas import _concentrate_wide16
+
+    vals = np.zeros((8, 40000), np.int16)
+    disp = np.full((8, 40000), -1, np.int32)
+    disp[:, 0] = 0
+    out = np.asarray(
+        _concentrate_wide16(jnp.asarray(vals), jnp.asarray(disp), 4, 30000)
+    )
+    assert np.array_equal(out, np.zeros((8, 4), np.int16))
+
+
+@tpu_only
 def test_wide_kernel_huge_displacement():
     """A lone valid element at the far right routes across every block."""
     from deltarice_tpu.ops.concentrate_pallas import _concentrate_wide
