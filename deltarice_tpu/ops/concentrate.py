@@ -37,6 +37,15 @@ def _shift_left(x: jnp.ndarray, s: int, fill):
     )
 
 
+def _clip_cols(x: jnp.ndarray, n_out: int):
+    """First n_out columns, zero-padded when the slot axis is narrower
+    (a stream shorter than its segment stages fewer slots than the
+    requested samples; the surplus tail is garbage-by-contract)."""
+    if x.shape[1] < n_out:
+        x = jnp.pad(x, ((0, 0), (0, n_out - x.shape[1])))
+    return x[:, :n_out]
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def concentrate(values: jnp.ndarray, disp: jnp.ndarray, n_out: int):
     """Pack valid elements to the front of each row.
@@ -74,7 +83,7 @@ def concentrate(values: jnp.ndarray, disp: jnp.ndarray, n_out: int):
             packed = jnp.where(
                 moving, in_p - (s << 16), jnp.where(staying, packed, dead)
             )
-        out = (packed[:, :n_out] & 0xFFFF).astype(jnp.int32)
+        out = (_clip_cols(packed, n_out) & 0xFFFF).astype(jnp.int32)
         if values.dtype == jnp.int16:
             return ((out << 16) >> 16).astype(jnp.int16)
         return out.astype(values.dtype)
@@ -90,4 +99,4 @@ def concentrate(values: jnp.ndarray, disp: jnp.ndarray, n_out: int):
         disp = jnp.where(
             moving, in_disp - s, jnp.where(staying, disp, -1)
         )
-    return values[:, :n_out]
+    return _clip_cols(values, n_out)

@@ -81,7 +81,9 @@ def _run(planes: tuple[jnp.ndarray, ...], n_out: int):
     n = len(planes)
     bs = _block_rows(rp, n)
     rowp = -(-rows // bs) * bs
-    n_out_p = -(-n_out // _LANE) * _LANE
+    # a stream shorter than its segment can stage fewer slots than the
+    # requested output; the surplus tail pads with zeros at the end
+    n_out_p = min(-(-n_out // _LANE) * _LANE, rp)
     padded = [
         jnp.pad(p, ((0, rowp - rows), (0, rp - r)), constant_values=_DEAD)
         for p in planes
@@ -106,6 +108,8 @@ def _run(planes: tuple[jnp.ndarray, ...], n_out: int):
             jax.ShapeDtypeStruct((rowp, n_out_p), jnp.int32)
         ] * n,
     )(*padded)
+    if n_out_p < n_out:
+        outs = [jnp.pad(o, ((0, 0), (0, n_out - n_out_p))) for o in outs]
     return [o[:rows, :n_out] for o in outs]
 
 
@@ -278,6 +282,8 @@ def _concentrate_wide16(values: jnp.ndarray, disp: jnp.ndarray, n_out: int,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((rowp, nb, _WBLK), jnp.int32),
         )(op.reshape(rowp, nb, _WBLK)).reshape(rowp, nb * _WBLK)
+    if op.shape[1] < n_out:
+        op = jnp.pad(op, ((0, 0), (0, n_out - op.shape[1])))
     out = op[:rows, :n_out].astype(jnp.int32)
     if values.dtype == jnp.int16:
         return ((out << 16) >> 16).astype(jnp.int16)
@@ -379,6 +385,8 @@ def _concentrate_wide(values: jnp.ndarray, disp: jnp.ndarray, n_out: int):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((rowp, nb, _WBLK), jnp.int32),
         )(v3, d3).reshape(rowp, nb * _WBLK)
+    if ov.shape[1] < n_out:
+        ov = jnp.pad(ov, ((0, 0), (0, n_out - ov.shape[1])))
     out = ov[:rows, :n_out]
     if values.dtype == jnp.int16:
         return ((out << 16) >> 16).astype(jnp.int16)

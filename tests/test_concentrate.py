@@ -115,6 +115,40 @@ def test_wide16_dead_collision():
     assert np.array_equal(out, np.zeros((8, 4), np.int16))
 
 
+@pytest.mark.parametrize("r", [500, 40000])
+def test_n_out_wider_than_slot_axis(r):
+    """A stream shorter than its segment stages fewer slots than the
+    requested samples (fuzz-found: 64 samples decoded as a 1024-sample
+    segment); the surplus output columns must zero-pad, not crash or
+    silently narrow."""
+    vals, disp, n_out, dense = make_case(16, r, 0.2, seed=9)
+    want = r + 300
+    out = np.asarray(concentrate(jnp.asarray(vals), jnp.asarray(disp), want))
+    assert out.shape == (16, want)
+    assert np.array_equal(out[:, :n_out], dense)
+    assert not out[:, n_out:].any()
+    if jax.default_backend() == "tpu":
+        from deltarice_tpu.ops.concentrate_pallas import concentrate_pallas
+
+        out2 = np.asarray(
+            concentrate_pallas(jnp.asarray(vals), jnp.asarray(disp), want)
+        )
+        assert out2.shape == (16, want)
+        assert np.array_equal(out2, out)
+
+
+@tpu_only
+def test_short_stream_long_segment_roundtrip():
+    """End-to-end regression for the fuzz case: decode must handle a
+    64-sample chunk framed as one 1024-sample segment (slots < samples)."""
+    import deltarice_tpu as drt
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(-32768, 32768, 64).astype(np.int16)
+    cfg = drt.RiceConfig(16384, 1024, (1,))
+    assert np.array_equal(drt.decompress(drt.compress(data, cfg), cfg), data)
+
+
 @tpu_only
 def test_wide_kernel_huge_displacement():
     """A lone valid element at the far right routes across every block."""

@@ -25,7 +25,9 @@ FILTERS = [(1, -1), (1,), (1, -2, 1), (-1, 1), (1, -1, 0, 1)]
 
 
 def random_case(rng):
-    n = int(rng.choice([63, 64, 200, 377, 1024, 2048, 4096]))
+    # the two long sizes drive the wide-concentration decode/encode paths
+    # (slot axes >= 2**15) that short segments never reach
+    n = int(rng.choice([63, 64, 200, 377, 1024, 2048, 4096, 40000, 100000]))
     dist = rng.integers(0, 4)
     if dist == 0:
         data = np.round(
