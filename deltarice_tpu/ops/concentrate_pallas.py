@@ -134,8 +134,11 @@ def concentrate_packed(planes, n_out: int, wide: bool):
     return outs[0]
 
 
-_WBLK = 1 << 14  # column block of the wide kernel (2-block halo window
-         # + ~5 live (8, 2*_WBLK) i32 temporaries per pass must fit VMEM)
+_WBLK = 1 << 12  # wide-kernel column block. Trades expensive lane-axis
+# rolls (the 2-block halo sweep runs log2(B) passes) against cheap
+# sublane shifts (the stripe kernel runs the remaining log2(R/B) passes
+# in VMEM); measured optimum on v5e across nEDM/NOPTREX-scale axes.
+# VMEM: ~5 live (8, 2*B) i32 temporaries per halo pass.
 
 
 def _wide_kernel(v1_ref, d1_ref, v2_ref, d2_ref, ov_ref, od_ref, *,
@@ -154,7 +157,7 @@ def _wide_kernel(v1_ref, d1_ref, v2_ref, d2_ref, ov_ref, od_ref, *,
     v = jnp.concatenate([v1_ref[:, :], v2_ref[:, :]], axis=1)
     d = jnp.concatenate([d1_ref[:, :], d2_ref[:, :]], axis=1)
     cols = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-    for b in range(14):
+    for b in range(_WBLK.bit_length() - 1):
         s = 1 << b
         vs = pltpu.roll(v, w - s, axis=1)  # left-roll by s
         ds = jnp.where(cols < (w - s), pltpu.roll(d, w - s, axis=1), -1)
@@ -210,7 +213,7 @@ def _wide16_low_kernel(p1_ref, p2_ref, op_ref, *, final: bool):
     w = 2 * _WBLK
     p = jnp.concatenate([p1_ref[:, :], p2_ref[:, :]], axis=1)
     cols = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
-    for b in range(14):
+    for b in range(_WBLK.bit_length() - 1):
         s = 1 << b
         sh = pltpu.roll(p, w - s, axis=1)  # left-roll by s
         sh = jnp.where(cols < (w - s), sh, _DEAD)
@@ -227,7 +230,7 @@ def _wide16_high_kernel(p_ref, op_ref, *, passes: int):
         s = 1 << h
         pad = jnp.full((p.shape[0], s, p.shape[2]), _DEAD, jnp.int32)
         sh = jnp.concatenate([p[:, s:, :], pad], axis=1)
-        p = _w16_pass(p, sh, 14 + h)
+        p = _w16_pass(p, sh, (_WBLK.bit_length() - 1) + h)
     op_ref[:, :, :] = _w16_home(p)
 
 
