@@ -166,14 +166,29 @@ def compress_batch(chunks, cfg: RiceConfig = RiceConfig(),
     ``/root/reference/src/deltaRice.c:474-488``). Persistent failure
     raises ``RuntimeError``.
     """
+    handle = compress_batch_dispatch(chunks, cfg, method)
+    return compress_batch_collect(handle, cfg, method, verify, retries)
+
+
+def compress_batch_dispatch(chunks, cfg: RiceConfig = RiceConfig(),
+                            method: str = "auto"):
+    """Queue the device encode of a chunk batch and return a handle.
+
+    Together with :func:`compress_batch_collect` this splits
+    :func:`compress_batch` at the device boundary so callers can overlap
+    one window's host-side framing + file I/O with the next window's
+    device encode (JAX dispatch is asynchronous; the handle holds
+    device-resident arrays). ``collect(dispatch(x)) == compress_batch(x)``
+    byte-for-byte.
+    """
     arrs = [as_int16(c).ravel() for c in chunks]
     if not arrs:
-        return []
+        return (arrs, 0, None, None)
     total = arrs[0].size
     if any(a.size != total for a in arrs):
         raise ValueError("compress_batch requires equal-sized chunks")
     if total == 0:  # header-only streams, matching compress()
-        return [np.zeros(1, dtype="<u4").tobytes() for _ in arrs]
+        return (arrs, 0, None, None)
     nseg, length, nvalid = _segment_layout(total, cfg)
     nchunks = len(arrs)
     padded = np.zeros((nchunks, nseg, length), dtype=np.int16)
@@ -183,6 +198,20 @@ def compress_batch(chunks, cfg: RiceConfig = RiceConfig(),
         jnp.asarray(np.tile(nvalid, nchunks)),
         cfg, cfg.max_words(length), method,
     )
+    return (arrs, total, words, nwords)
+
+
+def compress_batch_collect(handle, cfg: RiceConfig = RiceConfig(),
+                           method: str = "auto", verify: bool = False,
+                           retries: int = 2) -> list[bytes]:
+    """Fetch + frame the streams of a :func:`compress_batch_dispatch`."""
+    arrs, total, words, nwords = handle
+    if not arrs:
+        return []
+    if total == 0:
+        return [np.zeros(1, dtype="<u4").tobytes() for _ in arrs]
+    nchunks = len(arrs)
+    nseg = _segment_layout(total, cfg)[0]
     # fetch word counts first, then move only ~compressed-size bytes D2H
     nwords = np.asarray(nwords).reshape(nchunks, nseg)
     w = max(int(nwords.max(initial=0)), 1)
@@ -243,9 +272,25 @@ def decompress_batch(streams, cfg: RiceConfig = RiceConfig(),
     Chunks are grouped by their padded word width so one escape-heavy
     chunk only inflates transfer and compute for its own bucket, not the
     whole batch."""
+    return decompress_batch_collect(
+        decompress_batch_dispatch(streams, cfg, backend)
+    )
+
+
+def decompress_batch_dispatch(streams, cfg: RiceConfig = RiceConfig(),
+                              backend: str = "auto"):
+    """Queue the device decode of a stream batch and return a handle.
+
+    The host side (header walk, ragged gather) runs here and each
+    word-width bucket's decode is dispatched; the returned handle holds
+    device-resident arrays that :func:`decompress_batch_collect` fetches.
+    Splitting at the device boundary lets callers overlap one window's
+    device->host copy with the next window's file reads + decode
+    (JAX dispatch is asynchronous).
+    """
     streams = list(streams)
     if not streams:
-        return []
+        return (0, 0, [])
     bufs = [np.frombuffer(memoryview(s), dtype="<u4") for s in streams]
     if any(b.size == 0 for b in bufs):
         raise ValueError("truncated Delta-Rice stream")
@@ -253,7 +298,7 @@ def decompress_batch(streams, cfg: RiceConfig = RiceConfig(),
     if any(int(b[0]) != total for b in bufs):
         raise ValueError("decompress_batch requires equal-sized chunks")
     if total == 0:
-        return [np.zeros(0, dtype=np.int16) for _ in bufs]
+        return (len(bufs), 0, [])
     nseg, length, _ = _segment_layout(total, cfg)
     by_bucket: dict[int, list[int]] = {}
     per_chunk = []
@@ -262,7 +307,7 @@ def decompress_batch(streams, cfg: RiceConfig = RiceConfig(),
         per_chunk.append((buf, counts, starts))
         bucket = -(-(int(counts.max(initial=0)) + 1) // _WORD_BUCKET)
         by_bucket.setdefault(bucket * _WORD_BUCKET, []).append(i)
-    out: list[np.ndarray | None] = [None] * len(bufs)
+    pending = []
     for bucket, idxs in by_bucket.items():
         words = np.zeros((len(idxs), nseg, bucket), dtype=np.uint32)
         for j, i in enumerate(idxs):
@@ -271,7 +316,20 @@ def decompress_batch(streams, cfg: RiceConfig = RiceConfig(),
         dec = decode_segments(
             jnp.asarray(words.reshape(-1, bucket)), length, cfg, backend
         )
-        dec = np.asarray(dec).reshape(len(idxs), nseg * length)
+        pending.append((idxs, dec, nseg * length))
+    return (len(bufs), total, pending)
+
+
+def decompress_batch_collect(handle) -> list[np.ndarray]:
+    """Fetch the arrays of a :func:`decompress_batch_dispatch`."""
+    n, total, pending = handle
+    if n == 0:
+        return []
+    if total == 0:
+        return [np.zeros(0, dtype=np.int16) for _ in range(n)]
+    out: list[np.ndarray | None] = [None] * n
+    for idxs, dec, flat in pending:
+        dec = np.asarray(dec).reshape(len(idxs), flat)
         for j, i in enumerate(idxs):
             out[i] = dec[j, :total].copy()
     return out

@@ -104,6 +104,18 @@ def write_dataset(group, name, data, cfg: RiceConfig | None = None,
     )
     chunk_shape = dset.chunks
     grid = list(_chunk_grid(shape, chunk_shape))
+
+    def flush(prev):
+        offsets, handle = prev
+        blobs = codec.compress_batch_collect(handle, cfg, method, verify)
+        for off, blob in zip(offsets, blobs):
+            dset.id.write_direct_chunk(off, blob)
+
+    # one device call per window (the reference runs the filter once per
+    # chunk; here the chunk axis is just more batch), pipelined one window
+    # deep: window i's device encode runs while window i-1's streams frame
+    # and write to the file (JAX dispatch is asynchronous)
+    prev = None
     for window in _windows(grid, max(1, batch_chunks)):
         offsets, blocks = [], []
         for _idx, off in window:
@@ -118,12 +130,12 @@ def write_dataset(group, name, data, cfg: RiceConfig | None = None,
                 block = full
             offsets.append(off)
             blocks.append(block)
-        # one device call per window (the reference runs the filter once
-        # per chunk; here the chunk axis is just more batch)
-        for off, blob in zip(
-            offsets, codec.compress_batch(blocks, cfg, method, verify=verify)
-        ):
-            dset.id.write_direct_chunk(off, blob)
+        handle = codec.compress_batch_dispatch(blocks, cfg, method)
+        if prev is not None:
+            flush(prev)
+        prev = (offsets, handle)
+    if prev is not None:
+        flush(prev)
     return dset
 
 
@@ -140,6 +152,22 @@ def iter_chunks(dset, cfg: RiceConfig | None = None,
     nsamp16 = int(np.prod(chunk_shape)) * itemsize // 2
     filter_bit = _deltarice_filter_bit(dset)
     grid = list(_chunk_grid(shape, chunk_shape))
+
+    def emit(prev):
+        offsets, handle, raw = prev
+        decoded = codec.decompress_batch_collect(handle)
+        for off, flat in list(zip(offsets, decoded)) + raw:
+            if flat.size != nsamp16:
+                raise ValueError(
+                    f"chunk at {off}: expected {nsamp16} samples, "
+                    f"got {flat.size}"
+                )
+            yield off, flat.view(dset.dtype).reshape(chunk_shape)
+
+    # pipelined one window deep: window i's device decode runs while
+    # window i-1's samples copy back and window i+1's raw streams read
+    # from the file (JAX dispatch is asynchronous)
+    prev = None
     for window in _windows(grid, max(1, batch_chunks)):
         offsets, blobs, raw = [], [], []
         for _idx, off in window:
@@ -151,14 +179,12 @@ def iter_chunks(dset, cfg: RiceConfig | None = None,
             else:
                 offsets.append(off)
                 blobs.append(blob)
-        decoded = codec.decompress_batch(blobs, cfg) if blobs else []
-        for off, flat in list(zip(offsets, decoded)) + raw:
-            if flat.size != nsamp16:
-                raise ValueError(
-                    f"chunk at {off}: expected {nsamp16} samples, "
-                    f"got {flat.size}"
-                )
-            yield off, flat.view(dset.dtype).reshape(chunk_shape)
+        handle = codec.decompress_batch_dispatch(blobs, cfg)
+        if prev is not None:
+            yield from emit(prev)
+        prev = (offsets, handle, raw)
+    if prev is not None:
+        yield from emit(prev)
 
 
 def read_dataset(dset, cfg: RiceConfig | None = None,
