@@ -157,6 +157,12 @@ def cmd_optimize(args):
     )
 
 
+def cmd_install_plugin(args):
+    from .native.install import install_plugin
+
+    print(f"installed {install_plugin(args.plugin_dir, verbose=True)}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="deltarice_tpu",
@@ -192,6 +198,15 @@ def main(argv=None):
     po.add_argument("--span", type=int, default=1)
     po.add_argument("--sample-rows", type=int, default=64)
     po.set_defaults(fn=cmd_optimize)
+
+    pp = sub.add_parser(
+        "install-plugin",
+        help="build the native filter and copy it into an HDF5 plugin "
+        "directory so any HDF5 app auto-loads it (reference parity: "
+        "setup.py install --h5plugin)",
+    )
+    pp.add_argument("--plugin-dir", default=None)
+    pp.set_defaults(fn=cmd_install_plugin)
 
     args = p.parse_args(argv)
     return args.fn(args)

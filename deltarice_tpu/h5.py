@@ -98,6 +98,10 @@ def write_dataset(group, name, data, cfg: RiceConfig | None = None,
     re-dispatches failures per chunk before anything reaches the file.
     """
     cfg = cfg or RiceConfig()
+    if not (hasattr(data, "shape") and hasattr(data, "dtype")):
+        # plain lists / nested sequences; ndarray-likes (incl. open h5py
+        # datasets) pass through untouched to keep the zero-copy path
+        data = np.asarray(data)
     shape = tuple(data.shape)
     dset = create_dataset(
         group, name, shape, cfg, chunks, dtype=data.dtype

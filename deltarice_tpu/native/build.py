@@ -62,7 +62,11 @@ def _build_cmd(cc: str) -> list[str]:
         return cmd
     cmd.append("-fopenmp")
     cmd += [str(s) for s in _SOURCES]
-    cmd += ["-o", str(_LIB), "-ldl"]
+    # -z nodelete: HDF5's plugin loader dlcloses filter plugins at H5close;
+    # unmapping this library would also unmap its libgomp dependency while
+    # OpenMP worker threads are still parked in it, crashing the host app
+    # at exit (observed with HDF5 1.10 + HDF5_PLUGIN_PATH loading).
+    cmd += ["-o", str(_LIB), "-ldl", "-Wl,-z,nodelete"]
     return cmd
 
 

@@ -6,6 +6,20 @@
 #include <stdlib.h>
 #include <string.h>
 
+/* Portable 32-bit leading-zero count: GCC/Clang builtin, MSVC intrinsic
+ * (the build matrix includes a cl.exe path — native/build.py). Callers
+ * guarantee a nonzero argument. */
+#if defined(_MSC_VER) && !defined(__clang__)
+#include <intrin.h>
+static __forceinline unsigned dr_clz32(uint32_t x) {
+  unsigned long idx;
+  _BitScanReverse(&idx, x);
+  return 31u - (unsigned)idx;
+}
+#else
+#define dr_clz32(x) ((unsigned)__builtin_clz(x))
+#endif
+
 #if defined(_OPENMP)
 #include <omp.h>
 #endif
@@ -187,7 +201,7 @@ static int unpack_segment(const uint32_t *src, size_t n_words, int k,
      * never has more than DR_ESCAPE_Q zeros before a marker bit; the
      * |1 bounds clz for corrupt all-zero windows). Branch-free — the
      * bit-at-a-time scan loop mispredicts on data-dependent q. */
-    unsigned q = (unsigned)__builtin_clz(top | 1u);
+    unsigned q = dr_clz32(top | 1u);
     if (q > DR_ESCAPE_Q) q = DR_ESCAPE_Q;
     uint32_t u;
     unsigned len;

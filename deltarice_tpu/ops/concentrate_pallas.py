@@ -88,7 +88,12 @@ def _run(planes: tuple[jnp.ndarray, ...], n_out: int):
         jnp.pad(p, ((0, rowp - rows), (0, rp - r)), constant_values=_DEAD)
         for p in planes
     ]
-    passes = tuple(b for b in range(max(1, (rp - 1).bit_length()))
+    # the packed-plane format carries a 15-bit displacement (bits 16..30;
+    # bit 31 is the dead sentinel's sign), so strides >= 2**15 can never
+    # route anything — cap the pass list there. This also keeps the
+    # kernel's ``s << 16`` masks inside int32 when the slot axis itself
+    # reaches 2**15 (e.g. k=15 decode staging: j_max=2, W up to 2**14).
+    passes = tuple(b for b in range(max(1, min(15, (rp - 1).bit_length())))
                    if (1 << b) < rp)
     kern = functools.partial(
         _conc_kernel, rp=rp, n_planes=n, passes=passes

@@ -42,16 +42,3 @@ def transpose2d(x: jnp.ndarray) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((bp, ap), x.dtype),
     )(x)
     return out[:b, :a]
-
-
-def untile_lanes(x3: jnp.ndarray) -> jnp.ndarray:
-    """(blocks, rows, 128) kernel-output layout -> (blocks*128, rows).
-
-    Equivalent to ``x3.transpose(0, 2, 1).reshape(-1, rows)`` but routed
-    through the tiled Mosaic transpose (vmapped over the block axis; the
-    remaining reshape keeps the minor axis in place, so XLA lowers it as a
-    cheap copy).
-    """
-    blocks, rows, lanes = x3.shape
-    t = jax.vmap(transpose2d)(x3)  # (blocks, 128, rows)
-    return t.reshape(blocks * lanes, rows)

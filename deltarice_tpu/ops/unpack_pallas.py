@@ -71,11 +71,13 @@ def _sublane_factor(nseg: int) -> int:
     return 8
 
 
-def _chunk_words(k: int, sb: int) -> int:
-    """Words per grid chunk, sized so the staging block stays ~2 MB."""
-    j_max = codewords_per_word(k)
+def _chunk_words(j: int, sb: int) -> int:
+    """Words per grid chunk, sized so the staging block stays ~2 MB.
+
+    ``j`` is the per-word decode unroll (``j_max`` or the adaptive
+    ``j_eff``), which sets the staging rows per word."""
     wc = 16
-    while wc * 2 * j_max * sb <= 8192:
+    while wc * 2 * j * sb <= 8192:
         wc *= 2
     return wc
 
@@ -105,9 +107,9 @@ def _decode_one(w0, w1, pos, k: int):
     return u, clen
 
 
-def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, carry_ref,
-                   scratch_ref, *, wc: int, k: int, delta: bool, sb: int,
-                   packed: bool, n_samples: int):
+def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, ovf_ref,
+                   carry_ref, scratch_ref, *, wc: int, k: int, delta: bool,
+                   sb: int, packed: bool, n_samples: int, j_eff: int):
     """One grid step: decode ``wc`` words of sb*128 segments.
 
     words_ref: (wc*sb, 128) uint32 — row t*sb+s is word t of sublane-group s.
@@ -118,10 +120,20 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, carry_ref,
     ntab_ref:  (wc*sb, 128) int32 — samples decoded before word t
                (absent in ``packed`` mode, where the kernel computes the
                displacement itself and no host-side table is needed).
-    carry_ref: (3*sb, 128) int32 scratch — pos / n / acc across chunks.
+    ovf_ref:   (sb, 128) int32 — nonzero where a word held more than
+               ``j_eff`` codeword starts (present only when ``j_eff`` is
+               below the static bound; results are then invalid and the
+               caller re-decodes with the full unroll).
+    carry_ref: (4*sb, 128) int32 scratch — pos / n / acc / ovf across
+               chunks.
     scratch_ref: (J*GROUP*sb, 128) int32 scratch — staging for one group.
+    j_eff:     decode unrolls per word, J. The static bound is
+               ``codewords_per_word(k)``; hostile (escape-heavy) streams
+               average ~1.3 starts/word, so callers that know the mean
+               from the headers pass a small J and the kernel flags the
+               (rare) words that exceed it instead of burning the bound.
     """
-    j_max = codewords_per_word(k)
+    detect = ovf_ref is not None
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -131,13 +143,14 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, carry_ref,
     pos = carry_ref[0:sb, :]
     n = carry_ref[sb : 2 * sb, :]
     acc = carry_ref[2 * sb : 3 * sb, :]
+    ovf = carry_ref[3 * sb : 4 * sb, :]
     assert sb == 8, "kernel layout assumes 8-sublane interleaving"
 
     n_groups = wc // _GROUP
     gsz = _GROUP * sb
 
     def group_step(g, carry):
-        pos, n, acc = carry
+        pos, n, acc, ovf = carry
         row0 = pl.multiple_of(g * gsz, gsz)
         cur = words_ref[pl.ds(row0, gsz), :]
         # first word of the next group: within this chunk for g < last,
@@ -157,7 +170,7 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, carry_ref,
             )
             if not packed:
                 ntab_vals.append(n)
-            for j in range(j_max):
+            for j in range(j_eff):
                 active = pos < 32
                 u, clen = _decode_one(w0, w1, pos, k)
                 x = (u >> 1) ^ -(u & 1)  # un-zigzag
@@ -171,37 +184,47 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, carry_ref,
                 # slots' sample indices strictly increase along rows — the
                 # precondition for butterfly-concentration compaction
                 if packed:
-                    slot = (c * wc + g * _GROUP + tt) * j_max + j
+                    slot = (c * wc + g * _GROUP + tt) * j_eff + j
                     valid = active & (n < n_samples)
-                    scratch_ref[(tt * j_max + j) * sb : (tt * j_max + j + 1) * sb, :] = (
+                    scratch_ref[(tt * j_eff + j) * sb : (tt * j_eff + j + 1) * sb, :] = (
                         jnp.where(valid, ((slot - n) << 16) | (out & 0xFFFF),
                                   _DEAD)
                     )
                 else:
-                    scratch_ref[(tt * j_max + j) * sb : (tt * j_max + j + 1) * sb, :] = (
+                    scratch_ref[(tt * j_eff + j) * sb : (tt * j_eff + j + 1) * sb, :] = (
                         jnp.where(active, out, 0)
                     )
                 pos = jnp.where(active, pos + clen, pos)
                 n = n + active.astype(jnp.int32)
+            if detect:
+                # a (j_eff+1)-th codeword starts in this word: the decode
+                # missed it and everything downstream is desynchronized
+                ovf = ovf | ((pos < 32) & (n < n_samples)).astype(jnp.int32)
             pos = pos - 32
-        stage_ref[pl.ds(pl.multiple_of(row0 * j_max, gsz), gsz * j_max), :] = (
-            scratch_ref[0 : gsz * j_max, :].astype(stage_ref.dtype)
+        stage_ref[pl.ds(pl.multiple_of(row0 * j_eff, gsz), gsz * j_eff), :] = (
+            scratch_ref[0 : gsz * j_eff, :].astype(stage_ref.dtype)
         )
         if not packed:
             ntab_ref[pl.ds(row0, gsz), :] = jnp.concatenate(ntab_vals, axis=0)
-        return pos, n, acc
+        return pos, n, acc, ovf
 
-    pos, n, acc = jax.lax.fori_loop(
-        0, n_groups, group_step, (pos, n, acc)
+    pos, n, acc, ovf = jax.lax.fori_loop(
+        0, n_groups, group_step, (pos, n, acc, ovf)
     )
     carry_ref[0:sb, :] = pos
     carry_ref[sb : 2 * sb, :] = n
     carry_ref[2 * sb : 3 * sb, :] = acc
+    carry_ref[3 * sb : 4 * sb, :] = ovf
+    if detect:
+        @pl.when(c == pl.num_programs(1) - 1)
+        def _():
+            ovf_ref[:, :] = ovf
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
-                         delta: bool = True, interpret: bool = False):
+                         delta: bool = True, interpret: bool = False,
+                         j_eff: int | None = None):
     """Decode per-segment Rice streams to samples on TPU, as ONE program:
     Mosaic kernel -> layout transposes -> concentration compaction. (The
     pipeline is fusion-safe because it contains no gathers; an earlier
@@ -214,47 +237,71 @@ def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
       k: log2(M).
       delta: fuse the [1,-1] inverse (prefix sum); otherwise return the
         un-zigzagged pre-filter values for a generic-filter inverse outside.
+      j_eff: decode unrolls per word. ``None`` (or >= the static bound
+        ``codewords_per_word(k)``) decodes exactly; a smaller value — e.g.
+        from the header-known mean starts/word of escape-heavy streams —
+        cuts kernel work and staging traffic by ~j_max/j_eff, and the
+        return becomes ``(samples, overflowed)`` where ``overflowed`` is a
+        scalar bool array: True means some word held more than ``j_eff``
+        starts, the samples are invalid, and the caller must re-decode
+        with ``j_eff=None``. ``j_eff >= 2`` is required (zero-pad words
+        decode as escape chains with up to 2 starts/word).
 
     Returns:
-      (num_segments, n_samples) int16.
+      (num_segments, n_samples) int16 — or ``(samples, overflowed)`` when
+      ``j_eff`` is below the static bound.
     """
     nseg = words.shape[0]
     sb = _sublane_factor(nseg)
-    wc = _chunk_words(k, sb)
     j_max = codewords_per_word(k)
+    exact = j_eff is None or j_eff >= j_max
+    j = j_max if exact else max(2, j_eff)
+    wc = _chunk_words(j, sb)
     n_chunks = -(-words.shape[1] // wc)
     # packed-plane emission needs every displacement to fit the plane's
     # 15-bit field. Every word contains >= 1 codeword start (pos < 32 at
     # each word boundary), so slot (t, j)'s destination n(t)+j satisfies
-    # n(t) >= t and disp = t*j_max - n(t) <= (W-1)*(j_max-1).
-    if (n_chunks * wc - 1) * (j_max - 1) < (1 << 15):
+    # n(t) >= t and disp = t*J - n(t) <= (W-1)*(J-1). The slot axis itself
+    # must also stay under 2**15: the packed butterfly rolls whole VMEM
+    # rows along lanes, whose cost (and Mosaic compile time) blows up for
+    # wider axes — those route through the blocked wide kernels instead
+    # (e.g. k=15 with j_max=2 and W > 2**14).
+    if ((n_chunks * wc - 1) * (j - 1) < (1 << 15)
+            and n_chunks * wc * j < (1 << 15)):
         from .concentrate_pallas import concentrate_packed
 
-        plane = _kernel_program(
-            words, k, delta, sb, wc, interpret, n_samples
+        plane, ovf = _kernel_program(
+            words, k, delta, sb, wc, j, interpret, True, n_samples
         )
         out = concentrate_packed((plane,), n_samples, wide=False)
-        return ((out << 16) >> 16).astype(jnp.int16)
-    stage, ntab = _kernel_program(words, k, delta, sb, wc, interpret)
-    return _compaction(stage, ntab, n_samples, wc, j_max)
+        out = ((out << 16) >> 16).astype(jnp.int16)
+    else:
+        (stage, ntab), ovf = _kernel_program(
+            words, k, delta, sb, wc, j, interpret, False, n_samples
+        )
+        out = _compaction(stage, ntab, n_samples, wc, j)
+    if exact:
+        return out
+    return out, jnp.any(ovf != 0)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
 def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
-                    wc: int, interpret: bool = False,
-                    packed_n_samples: int | None = None):
-    """Run the decode kernel. With ``packed_n_samples`` set the kernel
-    emits one int32 packed concentration plane (``disp << 16 | sample``);
-    otherwise an int16 sample plane plus the per-word ``ntab`` count
-    table for the XLA displacement build in :func:`_compaction`."""
+                    wc: int, j_eff: int, interpret: bool = False,
+                    packed: bool = True, n_samples: int = 0):
+    """Run the decode kernel. With ``packed`` the kernel emits one int32
+    packed concentration plane (``disp << 16 | sample``); otherwise an
+    int16 sample plane plus the per-word ``ntab`` count table for the XLA
+    displacement build in :func:`_compaction`. Returns
+    ``(plane_or_(stage, ntab), ovf)`` where ``ovf`` is a per-segment-group
+    overflow indicator (all zeros when ``j_eff`` is the static bound)."""
     from .transpose_pallas import transpose2d
 
     nseg, w_in = words.shape
-    j_max = codewords_per_word(k)
+    detect = j_eff < codewords_per_word(k)
     bseg = sb * _LANES
     blocks = -(-nseg // bseg)
     n_chunks = -(-w_in // wc)
-    packed = packed_n_samples is not None
     # pad: one whole extra chunk of zero words for the next_ref window
     cols = (n_chunks + 1) * wc
     words = jnp.pad(words, ((0, blocks * bseg - nseg), (0, cols - w_in)))
@@ -269,32 +316,45 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
 
     kern = functools.partial(
         _unpack_kernel, wc=wc, k=k, delta=delta, sb=sb, packed=packed,
-        n_samples=packed_n_samples if packed else 0,
+        n_samples=n_samples, j_eff=j_eff,
     )
-    if packed:
-        # single output: the kernel computes displacements itself, so no
-        # ntab table and no XLA displacement pass exist downstream
-        def kern_packed(words_ref, next_ref, stage_ref, carry_ref,
-                        scratch_ref):
-            kern(words_ref, next_ref, stage_ref, None, carry_ref,
-                 scratch_ref)
 
-        body = kern_packed
-    else:
-        body = kern
+    def body(words_ref, next_ref, *rest):
+        out_refs = list(rest[:-2])
+        carry_ref, scratch_ref = rest[-2:]
+        stage_ref = out_refs.pop(0)
+        ntab_ref = out_refs.pop(0) if not packed else None
+        ovf_ref = out_refs.pop(0) if detect else None
+        kern(words_ref, next_ref, stage_ref, ntab_ref, ovf_ref, carry_ref,
+             scratch_ref)
+
     gsz = _GROUP * sb
-    stage_spec = pl.BlockSpec((None, j_max * wc * sb, _LANES),
+    stage_spec = pl.BlockSpec((None, j_eff * wc * sb, _LANES),
                               lambda b, c: (b, c, 0),
                               memory_space=pltpu.VMEM)
     stage_shape = jax.ShapeDtypeStruct(
-        (blocks, n_chunks * j_max * wc * sb, _LANES),
+        (blocks, n_chunks * j_eff * wc * sb, _LANES),
         jnp.int32 if packed else jnp.int16,
     )
-    ntab_spec = pl.BlockSpec((None, wc * sb, _LANES), lambda b, c: (b, c, 0),
-                             memory_space=pltpu.VMEM)
-    ntab_shape = jax.ShapeDtypeStruct(
-        (blocks, n_chunks * wc * sb, _LANES), jnp.int32
-    )
+    out_specs = [stage_spec]
+    out_shapes = [stage_shape]
+    if not packed:
+        out_specs.append(
+            pl.BlockSpec((None, wc * sb, _LANES), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((blocks, n_chunks * wc * sb, _LANES),
+                                 jnp.int32)
+        )
+    if detect:
+        out_specs.append(
+            pl.BlockSpec((None, sb, _LANES), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((blocks, sb, _LANES), jnp.int32)
+        )
     out = pl.pallas_call(
         body,
         grid=(blocks, n_chunks),
@@ -305,11 +365,11 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
                          lambda b, c: (b, (c + 1) * (wc // _GROUP), 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[stage_spec] if packed else [stage_spec, ntab_spec],
-        out_shape=[stage_shape] if packed else [stage_shape, ntab_shape],
+        out_specs=out_specs,
+        out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((3 * sb, _LANES), jnp.int32),
-            pltpu.VMEM((j_max * gsz, _LANES), jnp.int32),
+            pltpu.VMEM((4 * sb, _LANES), jnp.int32),
+            pltpu.VMEM((j_eff * gsz, _LANES), jnp.int32),
         ],
         interpret=interpret,
     )(wt, wt)
@@ -320,9 +380,10 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
         t = jax.vmap(transpose2d)(a.reshape(blocks, rows, bseg))
         return t.reshape(blocks * bseg, rows)[:nseg]
 
+    ovf = out[-1] if detect else jnp.zeros((1,), jnp.int32)
     if packed:
-        return untile(out[0])
-    return untile(out[0]), untile(out[1])
+        return untile(out[0]), ovf
+    return (untile(out[0]), untile(out[1])), ovf
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))

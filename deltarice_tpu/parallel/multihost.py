@@ -37,19 +37,31 @@ def initialize_distributed(**kwargs) -> None:
     With explicit ``kwargs`` (coordinator_address, num_processes,
     process_id, ...) any initialization failure propagates — a
     misconfigured cluster must not silently fall back to single-process.
-    Without kwargs, initialization runs only when a coordinator is
-    configured in the environment; otherwise this is a single-process
-    no-op.
+    Without kwargs, initialization runs whenever a recognized multi-process
+    launch environment is present (explicit coordinator env vars, SLURM, or
+    a Cloud TPU pod — the environments ``jax.distributed.initialize`` can
+    auto-detect); a failure there also propagates, because running such a
+    cluster uninitialized would silently return per-host partial results.
+    On a plain single-process host this is a no-op.
     """
     if jax.distributed.is_initialized():
         return
     if kwargs:
         jax.distributed.initialize(**kwargs)
         return
-    if any(
-        os.environ.get(v)
-        for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
-    ):
+    cluster_env = (
+        # explicit coordinator
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        # SLURM multi-task launches (auto-detected by jax.distributed)
+        "SLURM_JOB_ID",
+        # Cloud TPU pod / megascale launches (auto-detected by
+        # jax.distributed; TPU_WORKER_HOSTNAMES alone is NOT used — some
+        # single-host TPU runtimes set it unconditionally)
+        "MEGASCALE_COORDINATOR_ADDRESS",
+    )
+    if any(os.environ.get(v) for v in cluster_env):
+        # single-task SLURM allocations are common for 1-host jobs; those
+        # initialize fine (num_processes == 1), so no special-casing
         jax.distributed.initialize()
 
 

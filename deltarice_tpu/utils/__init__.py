@@ -1,12 +1,10 @@
 """Utilities: compilation caching, chunk batching helpers, profiling."""
 
 from .cache import enable_persistent_cache
-from .timing import Timer
 from .profiling import device_trace, sync_cost, throughput
 
 __all__ = [
     "enable_persistent_cache",
-    "Timer",
     "device_trace",
     "sync_cost",
     "throughput",

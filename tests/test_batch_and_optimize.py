@@ -112,8 +112,12 @@ def test_optimize_recovers_delta_on_random_walk():
 
 
 def test_profiles_compress_near_published_ratio():
-    p = get_profile("nab")
-    x = p.synthetic(8, length=4096)
-    blob = drt.compress(x, drt.RiceConfig(p.rice_m, 4096))
-    ratio = len(blob) / x.nbytes
-    assert ratio < 0.55  # synthetic data is noisier than real Nab data
+    # tuned generators: nab/noptrex land within ~1 point of published;
+    # nedm is floor-bound at k+1 bits = 5/16 = 0.3125 (see profiles.py)
+    tol = {"nab": 0.02, "noptrex": 0.02, "nedm": 0.05}
+    for name in ("nab", "nedm", "noptrex"):
+        p = get_profile(name)
+        x = p.synthetic(8, length=4096)
+        blob = drt.compress(x, drt.RiceConfig(p.rice_m, 4096))
+        ratio = len(blob) / x.nbytes
+        assert abs(ratio - p.published_ratio) < tol[name], (name, ratio)

@@ -93,6 +93,22 @@ def test_decode_segments_auto_picks_pallas():
 
 
 @tpu_only
+def test_packed_plane_wide_slot_axis_k15():
+    """k=15 staging: j_max=2 keeps every displacement inside the packed
+    15-bit field while the slot axis (W * j_max) crosses 2**15 — this
+    crashed the packed butterfly with an int32 overflow (``s << 16`` at
+    stride 2**15) before such shapes were routed to the blocked wide
+    concentration path."""
+    rng = np.random.default_rng(15)
+    x = np.round(np.cumsum(rng.normal(0, 4, (2, 40000)), axis=-1)).astype(
+        np.int16
+    )
+    words = _encode(x, 15)
+    out = unpack_decode_pallas(words, 40000, 15, True)
+    np.testing.assert_array_equal(np.asarray(out), x)
+
+
+@tpu_only
 def test_long_waveforms_noptrex_geometry():
     """500k-sample waveforms — the published NOPTREX segment length
     (reference docs/Performance.md:38) — through both Mosaic kernels."""

@@ -110,18 +110,20 @@ def main():
         sc=sc,
     )
     sb = _sublane_factor(nseg)
-    wc = _chunk_words(cfg.k, sb)
     jmax = codewords_per_word(cfg.k)
+    wc = _chunk_words(jmax, sb)
     n_chunks = -(-w // wc)
-    dec_packed = (n_chunks * wc - 1) * (jmax - 1) < (1 << 15)
+    dec_packed = ((n_chunks * wc - 1) * (jmax - 1) < (1 << 15)
+                  and n_chunks * wc * jmax < (1 << 15))
     print(f"decode packed plane: {dec_packed} "
           f"(slots {n_chunks * wc * jmax}, words in {w})")
     if dec_packed:
         from deltarice_tpu.ops.concentrate_pallas import concentrate_packed
 
-        plane, t_dk = timeit(
+        (plane, _ovf), t_dk = timeit(
             "  decode kernel prog (w/ transp)",
-            lambda: _kernel_program(wd, cfg.k, True, sb, wc, False, length),
+            lambda: _kernel_program(wd, cfg.k, True, sb, wc, jmax, False,
+                                    True, length),
             sc=sc,
         )
         _, t_dc = timeit(
@@ -129,9 +131,11 @@ def main():
             lambda: concentrate_packed((plane,), length, False), sc=sc,
         )
     else:
-        (stage, ntab), t_dk = timeit(
+        ((stage, ntab), _ovf), t_dk = timeit(
             "  decode kernel prog (w/ transp)",
-            lambda: _kernel_program(wd, cfg.k, True, sb, wc), sc=sc,
+            lambda: _kernel_program(wd, cfg.k, True, sb, wc, jmax, False,
+                                    False, length),
+            sc=sc,
         )
         _, t_dc = timeit(
             "  compaction (concentrate)",
