@@ -32,7 +32,7 @@ from .config import RiceConfig
 from .ops.prefilter import prefilter_decode, prefilter_encode
 from .ops.rice import codeword_lengths_values, unzigzag, zigzag
 from .ops.pack_xla import pack_bits, unpack_bits
-from .ops.unpack_pallas import unpack_decode_pallas
+from .ops.unpack_pallas import codewords_per_word, unpack_decode_pallas
 from .utils.cache import enable_persistent_cache
 
 _WORD_BUCKET = 256  # decode pads segment word counts up to a multiple of this
@@ -42,18 +42,20 @@ _WORD_BUCKET = 256  # decode pads segment word counts up to a multiple of this
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _encode_segments_xla(x: jnp.ndarray, nvalid: jnp.ndarray,
                          cfg: RiceConfig, max_words: int,
-                         method: str = "segsum"):
+                         method: str = "segsum", prev0=None):
     """Pure-XLA encode path (prefix-sum + boundary-gather packing).
 
     Shape-agnostic and correct everywhere; on TPU its gathers are slow, so
     it serves as the CPU/mesh path and the kernel's correctness oracle.
+    Returns (words, nwords, nbits).
     """
-    d = prefilter_encode(x, cfg.filt)
+    d = prefilter_encode(x, cfg.filt, prev0)
     u = zigzag(d)
     lens, vals = codeword_lengths_values(u, cfg.k)
     mask = jnp.arange(x.shape[-1], dtype=jnp.int32)[None, :] < nvalid[:, None]
     lens = jnp.where(mask, lens, 0)
-    return pack_bits(lens, vals, max_words, method)
+    words, nwords = pack_bits(lens, vals, max_words, method)
+    return words, nwords, jnp.sum(lens, axis=-1)
 
 
 def encode_segments(x: jnp.ndarray, nvalid: jnp.ndarray, cfg: RiceConfig,
@@ -71,17 +73,30 @@ def encode_segments(x: jnp.ndarray, nvalid: jnp.ndarray, cfg: RiceConfig,
     Returns:
       (words (num_segments, max_words) uint32, nwords (num_segments,) int32)
     """
+    words, nwords, _ = encode_segments_bits(x, nvalid, cfg, max_words,
+                                            method)
+    return words, nwords
+
+
+def encode_segments_bits(x: jnp.ndarray, nvalid: jnp.ndarray,
+                         cfg: RiceConfig, max_words: int,
+                         method: str = "auto", prev0=None):
+    """:func:`encode_segments` plus exact per-stream bit counts and an
+    optional initial delta state — what sub-block-split encoding needs
+    (streams concatenate at bit offsets; delta chains continue across
+    blocks). Returns (words, nwords, nbits)."""
     enable_persistent_cache()  # first TPU compile costs minutes; persist it
     if method == "auto":
         method = "pallas" if jax.default_backend() == "tpu" else "segsum"
     if method == "pallas":
-        from .ops.pack_pallas import pack_encode_pallas
+        from .ops.pack_pallas import pack_encode_pallas_bits
 
         if cfg.is_delta:
-            return pack_encode_pallas(x, nvalid, cfg.k, max_words, True)
-        d = prefilter_encode(x, cfg.filt)
-        return pack_encode_pallas(d, nvalid, cfg.k, max_words, False)
-    return _encode_segments_xla(x, nvalid, cfg, max_words, method)
+            return pack_encode_pallas_bits(x, nvalid, cfg.k, max_words,
+                                           True, prev0)
+        d = prefilter_encode(x, cfg.filt, prev0)
+        return pack_encode_pallas_bits(d, nvalid, cfg.k, max_words, False)
+    return _encode_segments_xla(x, nvalid, cfg, max_words, method, prev0)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -93,8 +108,68 @@ def _decode_segments_scan(words: jnp.ndarray, n_samples: int, cfg: RiceConfig):
     return prefilter_decode(unzigzag(u), cfg.filt)
 
 
+def _service_hint(counts, nvalid, k: int) -> int | None:
+    """Decode service rate (codeword decodes per word) from header stats.
+
+    The stream's headers give each segment's word count, hence its mean
+    codeword starts per word. Escape-heavy or mismatched-M streams average
+    ~1.3-2.4 starts/word against static bounds of 8-16; decoding at a
+    service rate sized to the mean (x1.3 margin + 1, so transient bursts
+    ride the kernel's lookback window instead of flagging) cuts kernel
+    work and staging traffic by the same factor. Returns None when the
+    bound itself is (near) optimal — dense-start streams like matched-M
+    Gaussian data.
+    """
+    j_max = codewords_per_word(k)
+    c = np.maximum(np.asarray(counts, dtype=np.float64), 1.0)
+    nv = np.asarray(nvalid, dtype=np.float64)
+    mean = float(np.max(nv / c, initial=0.0))
+    j = max(2, int(np.ceil(1.3 * mean)) + 1)
+    return j if j < j_max else None
+
+
+def _decode_device(words: jnp.ndarray, n_samples: int, cfg: RiceConfig,
+                   j_eff: int | None, speculate: bool = True):
+    """One device decode dispatch; returns (samples, per-segment bad flags
+    or None). ``j_eff`` below the static bound enables the reduced-service
+    kernel, and ``speculate`` the clamped-displacement wide16 compaction;
+    both flag affected segments for exact re-decode
+    (:func:`_redecode_bad_rows`, which runs with both disabled)."""
+    res = unpack_decode_pallas(
+        words, n_samples, cfg.k, cfg.is_delta, False,
+        j_eff, speculate,
+    )
+    out, bad = res if isinstance(res, tuple) else (res, None)
+    if not cfg.is_delta:
+        out = prefilter_decode(out, cfg.filt)
+    return out, bad
+
+
+def _redecode_bad_rows(out_np: np.ndarray, bad, words_np: np.ndarray,
+                       n_samples: int, cfg: RiceConfig) -> np.ndarray:
+    """Exactly re-decode segments the service kernel flagged, in place.
+
+    Flagged rows are gathered, padded to a power-of-two row count (bounds
+    the set of compiled shapes), and run through the full-unroll kernel.
+    """
+    if bad is None:
+        return out_np
+    idx = np.nonzero(np.asarray(bad))[0]
+    if idx.size == 0:
+        return out_np
+    if not out_np.flags.writeable:
+        out_np = out_np.copy()
+    rows = words_np[idx]
+    p = 1 << (int(idx.size) - 1).bit_length()
+    rows = np.pad(rows, ((0, p - idx.size), (0, 0)))
+    fixed, _ = _decode_device(jnp.asarray(rows), n_samples, cfg, None,
+                              speculate=False)
+    out_np[idx] = np.asarray(fixed)[: idx.size]
+    return out_np
+
+
 def decode_segments(words: jnp.ndarray, n_samples: int, cfg: RiceConfig,
-                    backend: str = "auto"):
+                    backend: str = "auto", counts=None, nvalid=None):
     """Decode per-segment word streams back to int16 samples.
 
     words: (num_segments, W) uint32 with at least one zero pad word per row.
@@ -104,15 +179,26 @@ def decode_segments(words: jnp.ndarray, n_samples: int, cfg: RiceConfig,
     backend: "pallas" (word-synchronous TPU kernel; its W-chunked grid
     bounds VMEM by construction for any stream length), "scan" (XLA
     per-sample scan), or "auto" (pallas on TPU, scan elsewhere).
+
+    counts/nvalid: optional per-segment word counts (from the header walk)
+    and valid-sample counts; when given, the pallas path sizes its service
+    rate to the data and escape-heavy/mismatched-M streams decode several
+    times faster (flagged lag overruns re-decode exactly, synchronously —
+    callers needing asynchrony use the batch dispatch/collect pipeline).
     """
     enable_persistent_cache()  # first TPU compile costs minutes; persist it
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "scan"
     if backend == "pallas":
-        out = unpack_decode_pallas(words, n_samples, cfg.k, cfg.is_delta)
-        if cfg.is_delta:
-            return out
-        return prefilter_decode(out, cfg.filt)
+        j_eff = None
+        if counts is not None and nvalid is not None:
+            j_eff = _service_hint(counts, nvalid, cfg.k)
+        out, bad = _decode_device(words, n_samples, cfg, j_eff)
+        if bad is not None and bool(np.asarray(jnp.any(bad))):
+            out = jnp.asarray(_redecode_bad_rows(
+                np.asarray(out), bad, np.asarray(words), n_samples, cfg
+            ))
+        return out
     return _decode_segments_scan(words, n_samples, cfg)
 
 
@@ -122,6 +208,103 @@ def _segment_layout(total: int, cfg: RiceConfig):
     if leftover:
         nvalid[-1] = leftover
     return nseg, length, nvalid
+
+
+# --- sub-block-split encode for long waveforms -------------------------
+#
+# A Rice stream is a bit-concatenation of per-sample codewords, and the
+# delta filter's only cross-sample state is the previous sample — so a
+# long waveform can encode as P independent sub-blocks across kernel
+# lanes (each seeded with its predecessor's last sample) whose packed
+# sub-streams then concatenate at bit offsets, bit-identical to the
+# serial pass. This fills the 1024-lane kernel grid for small-batch
+# long-segment workloads (NOPTREX: 256 x 500000) and drops the slot axis
+# below 2**15 so placement rides the packed concentration planes instead
+# of the slower wide butterfly (nEDM: 81920-sample segments). The
+# reference has no counterpart: its OpenMP parallelism stops at whole
+# waveforms (/root/reference/src/deltaRice.c:417-426).
+
+_SPLIT_MIN_SUB = 8192    # don't split below this sub-block length
+_SPLIT_PACKED = 1 << 15  # sub-block length that keeps placement packed
+_LANE_TARGET = 1024      # one full kernel block of lanes
+
+
+def _split_parts(nseg: int, length: int, cfg: RiceConfig) -> int:
+    """Sub-blocks per segment (1 = no split; delta filter only)."""
+    if not cfg.is_delta or length < 2 * _SPLIT_MIN_SUB:
+        return 1
+    parts = 1
+    # fill the lane grid, then keep halving until the slot axis is packed
+    while (length // (2 * parts) >= _SPLIT_MIN_SUB
+           and (nseg * 2 * parts <= _LANE_TARGET
+                or length // parts >= _SPLIT_PACKED)):
+        parts *= 2
+    return parts
+
+
+def _split_layout(padded: np.ndarray, nvalid: np.ndarray, parts: int):
+    """(rows, L) -> ((rows*parts, Ls), per-sub nvalid, per-sub prev0)."""
+    rows, length = padded.shape
+    ls = -(-length // parts)
+    xp = padded
+    if parts * ls != length:
+        xp = np.zeros((rows, parts * ls), padded.dtype)
+        xp[:, :length] = padded
+    x3 = xp.reshape(rows, parts, ls)
+    prev0 = np.zeros((rows, parts), np.int32)
+    prev0[:, 1:] = x3[:, :-1, -1]
+    nv = np.clip(
+        nvalid[:, None] - np.arange(parts, dtype=np.int64)[None, :] * ls,
+        0, ls,
+    ).astype(np.int32)
+    return (x3.reshape(rows * parts, ls), nv.reshape(-1),
+            prev0.reshape(-1), ls)
+
+
+def merge_substreams(words3: np.ndarray, nbits2: np.ndarray):
+    """Concatenate per-sub-block word streams at bit offsets (host side).
+
+    words3: (rows, P, W) uint32 packed sub-streams, zero beyond each
+      stream's words (incl. the final partial word's low bits — the
+      packer's zero-fill makes the shifted OR collision-free).
+    nbits2: (rows, P) exact bit lengths.
+
+    Returns (merged (rows, max_words) uint32, nwords (rows,) int64) —
+    byte-identical to serially encoding each row's full waveform. Runs in
+    the native C library (OpenMP) when built; numpy fallback otherwise.
+    """
+    rows, parts, w_in = words3.shape
+    total_bits = nbits2.astype(np.int64).sum(axis=1)
+    nwords = (total_bits + 31) >> 5
+    maxw = int(nwords.max(initial=0))
+    out = np.zeros((rows, maxw + 1), dtype=np.uint32)
+    from .native import codec_lib
+
+    lib = codec_lib()
+    if lib is not None and hasattr(lib, "dr_merge_substreams"):
+        words3 = np.ascontiguousarray(words3)
+        nb = np.ascontiguousarray(nbits2, dtype=np.int64)
+        lib.dr_merge_substreams(
+            words3.ctypes.data, rows, parts, w_in,
+            nb.ctypes.data, maxw + 1, out.ctypes.data,
+        )
+        return out[:, :maxw], nwords
+    for s in range(rows):
+        bit = 0
+        for p in range(parts):
+            nb_sp = int(nbits2[s, p])
+            if nb_sp == 0:
+                continue
+            m = (nb_sp + 31) >> 5
+            w = words3[s, p, :m]
+            w0, r = bit >> 5, bit & 31
+            if r == 0:
+                out[s, w0 : w0 + m] |= w
+            else:
+                out[s, w0 : w0 + m] |= w >> np.uint32(r)
+                out[s, w0 + 1 : w0 + 1 + m] |= w << np.uint32(32 - r)
+            bit += nb_sp
+    return out[:, :maxw], nwords
 
 
 def compress(data, cfg: RiceConfig = RiceConfig(), method: str = "auto") -> bytes:
@@ -137,6 +320,20 @@ def compress(data, cfg: RiceConfig = RiceConfig(), method: str = "auto") -> byte
     nseg, length, nvalid = _segment_layout(total, cfg)
     padded = np.zeros((nseg, length), dtype=np.int16)
     padded.ravel()[:total] = x
+    parts = _split_parts(nseg, length, cfg)
+    if parts > 1:
+        xs, nv, p0, ls = _split_layout(padded, nvalid, parts)
+        words, nwords, nbits = encode_segments_bits(
+            jnp.asarray(xs), jnp.asarray(nv), cfg, cfg.max_words(ls),
+            method, jnp.asarray(p0),
+        )
+        nws = np.asarray(nwords)
+        w = max(int(nws.max(initial=0)), 1)
+        merged, nw = merge_substreams(
+            np.asarray(words[:, :w]).reshape(nseg, parts, w),
+            np.asarray(nbits).reshape(nseg, parts),
+        )
+        return frame_stream(total, merged, nw)
     words, nwords = encode_segments(
         jnp.asarray(padded), jnp.asarray(nvalid), cfg, cfg.max_words(length), method
     )
@@ -183,29 +380,40 @@ def compress_batch_dispatch(chunks, cfg: RiceConfig = RiceConfig(),
     """
     arrs = [as_int16(c).ravel() for c in chunks]
     if not arrs:
-        return (arrs, 0, None, None)
+        return (arrs, 0, None, None, None, 1)
     total = arrs[0].size
     if any(a.size != total for a in arrs):
         raise ValueError("compress_batch requires equal-sized chunks")
     if total == 0:  # header-only streams, matching compress()
-        return (arrs, 0, None, None)
+        return (arrs, 0, None, None, None, 1)
     nseg, length, nvalid = _segment_layout(total, cfg)
     nchunks = len(arrs)
     padded = np.zeros((nchunks, nseg, length), dtype=np.int16)
     padded.reshape(nchunks, -1)[:, :total] = np.stack(arrs)
+    parts = _split_parts(nseg, length, cfg)
+    if parts > 1:
+        xs, nv, p0, ls = _split_layout(
+            padded.reshape(nchunks * nseg, length), np.tile(nvalid, nchunks),
+            parts,
+        )
+        words, nwords, nbits = encode_segments_bits(
+            jnp.asarray(xs), jnp.asarray(nv), cfg, cfg.max_words(ls),
+            method, jnp.asarray(p0),
+        )
+        return (arrs, total, words, nwords, nbits, parts)
     words, nwords = encode_segments(
         jnp.asarray(padded.reshape(nchunks * nseg, length)),
         jnp.asarray(np.tile(nvalid, nchunks)),
         cfg, cfg.max_words(length), method,
     )
-    return (arrs, total, words, nwords)
+    return (arrs, total, words, nwords, None, 1)
 
 
 def compress_batch_collect(handle, cfg: RiceConfig = RiceConfig(),
                            method: str = "auto", verify: bool = False,
                            retries: int = 2) -> list[bytes]:
     """Fetch + frame the streams of a :func:`compress_batch_dispatch`."""
-    arrs, total, words, nwords = handle
+    arrs, total, words, nwords, nbits, parts = handle
     if not arrs:
         return []
     if total == 0:
@@ -213,12 +421,24 @@ def compress_batch_collect(handle, cfg: RiceConfig = RiceConfig(),
     nchunks = len(arrs)
     nseg = _segment_layout(total, cfg)[0]
     # fetch word counts first, then move only ~compressed-size bytes D2H
-    nwords = np.asarray(nwords).reshape(nchunks, nseg)
+    nwords = np.asarray(nwords)
     w = max(int(nwords.max(initial=0)), 1)
-    words = np.asarray(words[:, :w]).reshape(nchunks, nseg, -1)
-    streams = [
-        frame_stream(total, words[c], nwords[c]) for c in range(nchunks)
-    ]
+    if parts > 1:
+        merged, nw = merge_substreams(
+            np.asarray(words[:, :w]).reshape(nchunks * nseg, parts, w),
+            np.asarray(nbits).reshape(nchunks * nseg, parts),
+        )
+        merged = merged.reshape(nchunks, nseg, -1)
+        nw = nw.reshape(nchunks, nseg)
+        streams = [
+            frame_stream(total, merged[c], nw[c]) for c in range(nchunks)
+        ]
+    else:
+        nwords = nwords.reshape(nchunks, nseg)
+        words = np.asarray(words[:, :w]).reshape(nchunks, nseg, -1)
+        streams = [
+            frame_stream(total, words[c], nwords[c]) for c in range(nchunks)
+        ]
     if verify:
         streams = _verify_retry(arrs, streams, cfg, method, retries)
     return streams
@@ -290,7 +510,7 @@ def decompress_batch_dispatch(streams, cfg: RiceConfig = RiceConfig(),
     """
     streams = list(streams)
     if not streams:
-        return (0, 0, [])
+        return (0, 0, None, [])
     bufs = [np.frombuffer(memoryview(s), dtype="<u4") for s in streams]
     if any(b.size == 0 for b in bufs):
         raise ValueError("truncated Delta-Rice stream")
@@ -298,8 +518,10 @@ def decompress_batch_dispatch(streams, cfg: RiceConfig = RiceConfig(),
     if any(int(b[0]) != total for b in bufs):
         raise ValueError("decompress_batch requires equal-sized chunks")
     if total == 0:
-        return (len(bufs), 0, [])
-    nseg, length, _ = _segment_layout(total, cfg)
+        return (len(bufs), 0, None, [])
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+    nseg, length, nvalid = _segment_layout(total, cfg)
     by_bucket: dict[int, list[int]] = {}
     per_chunk = []
     for i, buf in enumerate(bufs):
@@ -313,25 +535,43 @@ def decompress_batch_dispatch(streams, cfg: RiceConfig = RiceConfig(),
         for j, i in enumerate(idxs):
             buf, counts, starts = per_chunk[i]
             words[j] = gather_segments(buf, counts, starts, bucket)
-        dec = decode_segments(
-            jnp.asarray(words.reshape(-1, bucket)), length, cfg, backend
-        )
-        pending.append((idxs, dec, nseg * length))
-    return (len(bufs), total, pending)
+        words2 = words.reshape(-1, bucket)
+        if backend == "pallas":
+            counts_all = np.concatenate(
+                [per_chunk[i][1] for i in idxs]
+            )
+            j_eff = _service_hint(counts_all, np.tile(nvalid, len(idxs)),
+                                  cfg.k)
+            dec, bad = _decode_device(jnp.asarray(words2), length, cfg,
+                                      j_eff)
+        else:
+            dec, bad = _decode_segments_scan(
+                jnp.asarray(words2), length, cfg
+            ), None
+        # ``bad`` (the reduced-service kernel's lag flags) stays on
+        # device until collect so this dispatch never synchronizes —
+        # that's what lets callers overlap decode with file I/O
+        pending.append((idxs, dec, bad, words2, nseg * length))
+    return (len(bufs), total, (length, cfg), pending)
 
 
 def decompress_batch_collect(handle) -> list[np.ndarray]:
-    """Fetch the arrays of a :func:`decompress_batch_dispatch`."""
-    n, total, pending = handle
+    """Fetch the arrays of a :func:`decompress_batch_dispatch`; segments
+    the reduced-service decode flagged re-decode exactly here."""
+    n, total, meta, pending = handle
     if n == 0:
         return []
     if total == 0:
         return [np.zeros(0, dtype=np.int16) for _ in range(n)]
+    length, cfg = meta
     out: list[np.ndarray | None] = [None] * n
-    for idxs, dec, flat in pending:
-        dec = np.asarray(dec).reshape(len(idxs), flat)
+    for idxs, dec, bad, words2, flat in pending:
+        dec_np = np.asarray(dec)
+        if bad is not None:
+            dec_np = _redecode_bad_rows(dec_np, bad, words2, length, cfg)
+        dec_np = dec_np.reshape(len(idxs), flat)
         for j, i in enumerate(idxs):
-            out[i] = dec[j, :total].copy()
+            out[i] = dec_np[j, :total].copy()
     return out
 
 
@@ -344,10 +584,11 @@ def decompress(stream, cfg: RiceConfig = RiceConfig(),
     total = int(buf[0])
     if total == 0:
         return np.zeros(0, dtype=np.int16)
-    nseg, length, _ = _segment_layout(total, cfg)
+    nseg, length, nvalid = _segment_layout(total, cfg)
     counts, starts = walk_headers(buf, nseg)
     words = gather_segments(buf, counts, starts)
-    out = decode_segments(jnp.asarray(words), length, cfg, backend)
+    out = decode_segments(jnp.asarray(words), length, cfg, backend,
+                          counts=counts, nvalid=nvalid)
     return np.asarray(out).ravel()[:total].copy()
 
 

@@ -59,6 +59,12 @@ def codec_lib() -> "ctypes.CDLL | None":
                     ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
                     ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
                 ]
+                lib.dr_merge_substreams.restype = None
+                lib.dr_merge_substreams.argtypes = [
+                    ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+                    ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+                    ctypes.c_void_p,
+                ]
             except (OSError, AttributeError):
                 lib = None  # stale library without the helpers
         _codec_lib = lib

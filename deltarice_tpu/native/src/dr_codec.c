@@ -380,3 +380,43 @@ void dr_gather_rows(const uint32_t *buf, size_t nseg, const int64_t *counts,
            (size_t)counts[s] * sizeof(uint32_t));
   }
 }
+
+/* Concatenate per-sub-block packed word streams at bit offsets.
+ *
+ * Row r of `words` holds `parts` sub-streams of `w_in` uint32 each
+ * (zero-filled past each stream's words, including the final partial
+ * word's low bits — the packer's zero-fill makes the shifted OR
+ * collision-free); nbits[r*parts + p] is sub-stream p's exact bit
+ * length. Output row r (w_out words, caller-zeroed, >= total words + 1)
+ * receives the bit-concatenation: byte-identical to encoding the whole
+ * waveform serially. No reference counterpart — its parallelism stops
+ * at whole waveforms (/root/reference/src/deltaRice.c:417-426). */
+void dr_merge_substreams(const uint32_t *words, size_t rows, size_t parts,
+                         size_t w_in, const int64_t *nbits, size_t w_out,
+                         uint32_t *out) {
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (size_t r = 0; r < rows; r++) {
+    uint32_t *dst = out + r * w_out;
+    int64_t bit = 0;
+    for (size_t p = 0; p < parts; p++) {
+      int64_t nb = nbits[r * parts + p];
+      if (nb <= 0) continue;
+      const uint32_t *src = words + (r * parts + p) * w_in;
+      size_t m = (size_t)((nb + 31) >> 5);
+      size_t w0 = (size_t)(bit >> 5);
+      unsigned sh = (unsigned)(bit & 31);
+      if (sh == 0) {
+        for (size_t j = 0; j < m; j++) dst[w0 + j] |= src[j];
+      } else {
+        for (size_t j = 0; j < m; j++) {
+          uint32_t w = src[j];
+          dst[w0 + j] |= w >> sh;
+          dst[w0 + j + 1] |= w << (32u - sh);
+        }
+      }
+      bit += nb;
+    }
+  }
+}

@@ -46,4 +46,11 @@ int dr_compress(const int16_t *samples, size_t n, const dr_config *cfg,
 int dr_decompress(const uint32_t *words, size_t n_words,
                   const dr_config *cfg, int16_t **out, size_t *out_n);
 
+/* Bit-concatenate per-sub-block packed word streams (rows x parts x w_in)
+ * into caller-zeroed output rows (rows x w_out); nbits gives each
+ * sub-stream's exact bit length. OpenMP-parallel over rows. */
+void dr_merge_substreams(const uint32_t *words, size_t rows, size_t parts,
+                         size_t w_in, const int64_t *nbits, size_t w_out,
+                         uint32_t *out);
+
 #endif /* DR_CODEC_H */

@@ -50,19 +50,27 @@ _INVALID = 0x7FFFFFFF  # int32 max as a python constant (traced scalars cannot b
 _DEAD = -(1 << 31)   # dead slot marker of the packed concentration planes
 
 
-def _pack_kernel(x_ref, nvalid_ref, wstage_ref, kstage_ref, nw_ref,
-                 carry_ref, scratch_ref, *, sc: int, k: int, diff: bool,
-                 packed: bool, tail_row: int):
+def _pack_kernel(x_ref, nvalid_ref, prev0_ref, wstage_ref, kstage_ref,
+                 nw_ref, nb_ref, carry_ref, scratch_ref, *, sc: int, k: int,
+                 diff: bool, packed: bool, tail_row: int):
     """One grid step: encode ``sc`` samples of 1024 segments.
 
     x_ref:      (sc*8, 128) int16 — row i*8+s is sample i of group s.
     nvalid_ref: (8, 128) int32 — valid samples per segment.
+    prev0_ref:  (8, 128) int32 — delta-filter state before each segment's
+                first sample (0 for whole waveforms; sub-block splits of a
+                long waveform pass the previous sub-block's last sample,
+                which makes the split encode bit-identical to the serial
+                one — the delta recurrence's only cross-block state).
     wstage_ref: (sc*8, 128) — emitted word of sample slot i (or 0), as
                 uint32; with ``packed``, int32 concentration plane
                 ``disp << 16 | word-high-half`` (dead = INT32_MIN).
     kstage_ref: (sc*8, 128) int32 — word index key (INT32_MAX if no
                 word); with ``packed``, the low-half plane.
     nw_ref:     (8, 128) int32 — total words (written by the last step).
+    nb_ref:     (8, 128) int32 — total code BITS (written by the last
+                step); sub-block streams concatenate at bit offsets, so
+                the merge needs exact bit lengths, not word counts.
     carry_ref:  (40, 128) int32 scratch — prev/pos/n/acc_hi/acc_lo.
     scratch_ref:(2*GROUP*8, 128) int32 — per-group staging.
     tail_row:   static staging row (within the last chunk's block) of
@@ -73,6 +81,7 @@ def _pack_kernel(x_ref, nvalid_ref, wstage_ref, kstage_ref, nw_ref,
     @pl.when(c == 0)
     def _():
         carry_ref[:, :] = jnp.zeros_like(carry_ref)
+        carry_ref[0:8, :] = prev0_ref[:, :]
 
     prev = carry_ref[0:8, :]
     pos = carry_ref[8:16, :]
@@ -161,6 +170,7 @@ def _pack_kernel(x_ref, nvalid_ref, wstage_ref, kstage_ref, nw_ref,
     @pl.when(c == pl.num_programs(1) - 1)
     def _():
         has_tail = pos > 0
+        nb_ref[:, :] = n * 32 + pos
         if packed:
             dispt = ((c * sc + tail_row // _SB) - n) << 16
             wi = ahi.astype(jnp.int32)
@@ -182,15 +192,32 @@ def _pack_kernel(x_ref, nvalid_ref, wstage_ref, kstage_ref, nw_ref,
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def pack_encode_pallas(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
-                       max_words: int, diff: bool = True):
+                       max_words: int, diff: bool = True, prev0=None):
     """Encode (num_segments, L) int16 samples into packed word streams as
     ONE program: Mosaic kernel -> concentration placement.
     Returns (words (S, max_words) uint32, nwords (S,)).
     """
-    packed = _is_packed(x.shape[1])
-    wstage, kstage, nwords = _encode_kernel_program(x, nvalid, k, diff)
-    words = _placement(wstage, kstage, max_words, packed)
+    words, nwords, _ = pack_encode_pallas_bits(
+        x, nvalid, k, max_words, diff, prev0
+    )
     return words, nwords
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def pack_encode_pallas_bits(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
+                            max_words: int, diff: bool = True, prev0=None):
+    """:func:`pack_encode_pallas` plus exact per-stream bit counts and an
+    initial delta state — the extras sub-block-split encoding of long
+    waveforms needs (streams merge at bit offsets; each sub-block's delta
+    chain continues from the previous one's last sample).
+    Returns (words (S, max_words) uint32, nwords (S,), nbits (S,)).
+    """
+    packed = _is_packed(x.shape[1])
+    wstage, kstage, nwords, nbits = _encode_kernel_program(
+        x, nvalid, k, diff, prev0
+    )
+    words = _placement(wstage, kstage, max_words, packed)
+    return words, nwords, nbits
 
 
 def _is_packed(length: int) -> bool:
@@ -200,7 +227,7 @@ def _is_packed(length: int) -> bool:
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
-                           diff: bool):
+                           diff: bool, prev0=None):
     from .transpose_pallas import transpose2d
 
     nseg, length = x.shape
@@ -214,11 +241,15 @@ def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
     packed = _is_packed(length)
     x = jnp.pad(x, ((0, blocks * bseg - nseg), (0, lp - length)))
     nv = jnp.pad(nvalid.astype(jnp.int32), (0, blocks * bseg - nseg))
+    if prev0 is None:
+        prev0 = jnp.zeros((nseg,), jnp.int32)
+    p0 = jnp.pad(prev0.astype(jnp.int32), (0, blocks * bseg - nseg))
 
     x3 = x.reshape(blocks, bseg, lp)
     xt = jax.vmap(transpose2d)(x3)  # (blocks, lp, bseg)
     xt = xt.reshape(blocks, lp * _SB, _LANES)
     nv3 = nv.reshape(blocks, _SB, _LANES)
+    p03 = p0.reshape(blocks, _SB, _LANES)
 
     tail_row = (length - (n_chunks - 1) * sc) * _SB
     kern = functools.partial(
@@ -234,11 +265,15 @@ def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, _SB, _LANES), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, _SB, _LANES), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((None, sc * _SB, _LANES), lambda b, c: (b, c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, sc * _SB, _LANES), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, _SB, _LANES), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, _SB, _LANES), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -250,13 +285,14 @@ def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
             ),
             jax.ShapeDtypeStruct((blocks, lp * _SB, _LANES), jnp.int32),
             jax.ShapeDtypeStruct((blocks, _SB, _LANES), jnp.int32),
+            jax.ShapeDtypeStruct((blocks, _SB, _LANES), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((40, _LANES), jnp.int32),
             pltpu.VMEM((2 * gsz, _LANES), jnp.int32),
         ],
-    )(xt, nv3)
-    wstage, kstage, nw = out
+    )(xt, nv3, p03)
+    wstage, kstage, nw, nb = out
 
     def untile(a):
         rows = a.shape[1] // _SB
@@ -266,7 +302,8 @@ def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
     wstage = untile(wstage)
     kstage = untile(kstage)
     nw = nw.reshape(blocks * bseg)[:nseg]
-    return wstage, kstage, nw
+    nb = nb.reshape(blocks * bseg)[:nseg]
+    return wstage, kstage, nw, nb
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))

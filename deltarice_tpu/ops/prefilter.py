@@ -45,11 +45,24 @@ def _shift_right(x: jnp.ndarray, j: int) -> jnp.ndarray:
     return jnp.pad(x, pad)[..., : x.shape[-1]]
 
 
-def prefilter_encode(x: jnp.ndarray, filt: tuple[int, ...] = DELTA_FILTER) -> jnp.ndarray:
-    """Apply the causal pre-filter. x: int16, filtered along the last axis."""
+def prefilter_encode(x: jnp.ndarray, filt: tuple[int, ...] = DELTA_FILTER,
+                     prev0: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Apply the causal pre-filter. x: int16, filtered along the last axis.
+
+    prev0: optional per-row sample preceding ``x[..., 0]`` (int16). Delta
+    filter only — it is the recurrence's entire cross-block state, so
+    sub-block splits of a long waveform encode bit-identically to the
+    serial pass when each block passes its predecessor's last sample.
+    """
     x = x.astype(jnp.int16)
     if tuple(filt) == DELTA_FILTER:
-        return x - _shift_right(x, 1)
+        d = x - _shift_right(x, 1)
+        if prev0 is not None:
+            first = x[..., :1] - prev0.astype(jnp.int16)[..., None]
+            d = jnp.concatenate([first, d[..., 1:]], axis=-1)
+        return d
+    if prev0 is not None:
+        raise ValueError("prev0 is only supported for the delta filter")
     acc = x * _c16(filt[0])
     for j, c in enumerate(filt[1:], start=1):
         acc = acc + _shift_right(x, j) * _c16(c)

@@ -107,6 +107,14 @@ def _decode_one(w0, w1, pos, k: int):
     return u, clen
 
 
+#: lookback window (words) of the reduced-service kernel: a lane whose
+#: pending codeword starts up to this many words behind the current one
+#: still decodes it from carried history registers; only deeper lag —
+#: queue-theoretically rare once j_eff exceeds the mean starts/word —
+#: trips the overflow flag and the caller's exact re-decode.
+_LOOKBACK = 2
+
+
 def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, ovf_ref,
                    carry_ref, scratch_ref, *, wc: int, k: int, delta: bool,
                    sb: int, packed: bool, n_samples: int, j_eff: int):
@@ -120,20 +128,27 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, ovf_ref,
     ntab_ref:  (wc*sb, 128) int32 — samples decoded before word t
                (absent in ``packed`` mode, where the kernel computes the
                displacement itself and no host-side table is needed).
-    ovf_ref:   (sb, 128) int32 — nonzero where a word held more than
-               ``j_eff`` codeword starts (present only when ``j_eff`` is
-               below the static bound; results are then invalid and the
-               caller re-decodes with the full unroll).
-    carry_ref: (4*sb, 128) int32 scratch — pos / n / acc / ovf across
-               chunks.
+    ovf_ref:   (sb, 128) int32 — per-segment flag, nonzero where a lane
+               fell more than ``_LOOKBACK`` words behind (present only
+               when ``j_eff`` is below the static bound; that segment's
+               output is then invalid and the caller re-decodes it with
+               the full unroll).
+    carry_ref: ((4+V)*sb, 128) int32 scratch — pos / n / acc / ovf and V
+               history words across chunks.
     scratch_ref: (J*GROUP*sb, 128) int32 scratch — staging for one group.
-    j_eff:     decode unrolls per word, J. The static bound is
-               ``codewords_per_word(k)``; hostile (escape-heavy) streams
-               average ~1.3 starts/word, so callers that know the mean
-               from the headers pass a small J and the kernel flags the
-               (rare) words that exceed it instead of burning the bound.
+    j_eff:     decode SERVICE RATE per word, J. The static bound is
+               ``codewords_per_word(k)`` (no word can hold more starts);
+               hostile (escape-heavy / mismatched-M) streams average far
+               fewer, so callers that know the mean from the headers pass
+               a small J. Unlike a hard per-word unroll, a word with more
+               than J starts is NOT an error: the lane falls behind and
+               catches up from the ``_LOOKBACK``-word history window
+               (``pos`` goes negative; the candidate words are selected
+               per lane from carried registers), so only sustained
+               overload — which the header mean rules out — flags.
     """
     detect = ovf_ref is not None
+    v_look = _LOOKBACK if j_eff < codewords_per_word(k) else 0
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -144,13 +159,17 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, ovf_ref,
     n = carry_ref[sb : 2 * sb, :]
     acc = carry_ref[2 * sb : 3 * sb, :]
     ovf = carry_ref[3 * sb : 4 * sb, :]
+    hist = [
+        carry_ref[(4 + i) * sb : (5 + i) * sb, :].astype(_U32)
+        for i in range(v_look)
+    ]  # hist[i] = word t-1-i relative to the word being processed
     assert sb == 8, "kernel layout assumes 8-sublane interleaving"
 
     n_groups = wc // _GROUP
     gsz = _GROUP * sb
 
     def group_step(g, carry):
-        pos, n, acc, ovf = carry
+        pos, n, acc, ovf, *hist = carry
         row0 = pl.multiple_of(g * gsz, gsz)
         cur = words_ref[pl.ds(row0, gsz), :]
         # first word of the next group: within this chunk for g < last,
@@ -170,9 +189,27 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, ovf_ref,
             )
             if not packed:
                 ntab_vals.append(n)
+            if detect:
+                # stalled past the history window: codewords were skipped
+                # and this lane's stream is desynchronized for good
+                ovf = ovf | (
+                    (pos < -32 * v_look) & (n < n_samples)
+                ).astype(jnp.int32)
             for j in range(j_eff):
-                active = pos < 32
-                u, clen = _decode_one(w0, w1, pos, k)
+                if v_look:
+                    active = (pos < 32) & (pos >= -32 * v_look)
+                    # select the codeword's (w0, w1) window from the
+                    # current word and V carried history words by the
+                    # lag d = pos >> 5 in {-V..0}
+                    wa, wb = w0, w1
+                    for i in range(v_look):
+                        behind = pos < -32 * i
+                        wb = jnp.where(behind, wa, wb)
+                        wa = jnp.where(behind, hist[i], wa)
+                else:
+                    active = pos < 32
+                    wa, wb = w0, w1
+                u, clen = _decode_one(wa, wb, pos, k)
                 x = (u >> 1) ^ -(u & 1)  # un-zigzag
                 if delta:
                     s = ((acc + x) << 16) >> 16  # wrapping int16 prefix sum
@@ -196,35 +233,41 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, ovf_ref,
                     )
                 pos = jnp.where(active, pos + clen, pos)
                 n = n + active.astype(jnp.int32)
-            if detect:
-                # a (j_eff+1)-th codeword starts in this word: the decode
-                # missed it and everything downstream is desynchronized
-                ovf = ovf | ((pos < 32) & (n < n_samples)).astype(jnp.int32)
+            for i in range(v_look - 1, 0, -1):
+                hist[i] = hist[i - 1]
+            if v_look:
+                hist[0] = w0
             pos = pos - 32
         stage_ref[pl.ds(pl.multiple_of(row0 * j_eff, gsz), gsz * j_eff), :] = (
             scratch_ref[0 : gsz * j_eff, :].astype(stage_ref.dtype)
         )
         if not packed:
             ntab_ref[pl.ds(row0, gsz), :] = jnp.concatenate(ntab_vals, axis=0)
-        return pos, n, acc, ovf
+        return (pos, n, acc, ovf, *hist)
 
-    pos, n, acc, ovf = jax.lax.fori_loop(
-        0, n_groups, group_step, (pos, n, acc, ovf)
+    pos, n, acc, ovf, *hist = jax.lax.fori_loop(
+        0, n_groups, group_step, (pos, n, acc, ovf, *hist)
     )
     carry_ref[0:sb, :] = pos
     carry_ref[sb : 2 * sb, :] = n
     carry_ref[2 * sb : 3 * sb, :] = acc
     carry_ref[3 * sb : 4 * sb, :] = ovf
+    for i in range(v_look):
+        carry_ref[(4 + i) * sb : (5 + i) * sb, :] = hist[i].astype(jnp.int32)
     if detect:
         @pl.when(c == pl.num_programs(1) - 1)
         def _():
-            ovf_ref[:, :] = ovf
+            # n < n_samples at the end of the (padded) word axis means a
+            # lagging lane ran out of grid columns before catching up —
+            # same remedy as deep lag: exact re-decode of the segment
+            ovf_ref[:, :] = ovf | (n < n_samples).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
                          delta: bool = True, interpret: bool = False,
-                         j_eff: int | None = None):
+                         j_eff: int | None = None,
+                         speculate: bool = False):
     """Decode per-segment Rice streams to samples on TPU, as ONE program:
     Mosaic kernel -> layout transposes -> concentration compaction. (The
     pipeline is fusion-safe because it contains no gathers; an earlier
@@ -237,19 +280,31 @@ def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
       k: log2(M).
       delta: fuse the [1,-1] inverse (prefix sum); otherwise return the
         un-zigzagged pre-filter values for a generic-filter inverse outside.
-      j_eff: decode unrolls per word. ``None`` (or >= the static bound
-        ``codewords_per_word(k)``) decodes exactly; a smaller value — e.g.
-        from the header-known mean starts/word of escape-heavy streams —
-        cuts kernel work and staging traffic by ~j_max/j_eff, and the
-        return becomes ``(samples, overflowed)`` where ``overflowed`` is a
-        scalar bool array: True means some word held more than ``j_eff``
-        starts, the samples are invalid, and the caller must re-decode
-        with ``j_eff=None``. ``j_eff >= 2`` is required (zero-pad words
+      j_eff: decode service rate (codeword decodes per word). ``None``
+        (or >= the static bound ``codewords_per_word(k)``) decodes
+        exactly; a smaller value — sized from the header-known mean
+        starts/word, which for escape-heavy / mismatched-M streams is
+        ~1.3-2.4 against static bounds of 8-16 — cuts kernel work and
+        staging traffic by ~j_max/j_eff. Words holding more than
+        ``j_eff`` starts are absorbed by a ``_LOOKBACK``-word history
+        window (the lane falls behind and catches up); only deeper lag
+        invalidates, and the return becomes ``(samples, bad)`` with
+        ``bad`` a per-segment bool array — re-decode flagged segments
+        with ``j_eff=None``. ``j_eff >= 2`` is enforced (zero-pad words
         decode as escape chains with up to 2 starts/word).
 
+      speculate: allow data-speculative fast paths that may invalidate
+        individual segments. Currently one exists: wide slot axes whose
+        STATIC displacement bound exceeds the single-plane kernel's
+        16-bit field (nEDM/NOPTREX-length segments) but whose TYPICAL
+        displacements fit easily — clamp the overflowing displacements,
+        ride the ~1.5x-faster sign-biased single-plane butterfly, and
+        flag the (rare) affected segments for exact re-decode. Forces
+        the ``(samples, bad)`` return shape when the path engages.
+
     Returns:
-      (num_segments, n_samples) int16 — or ``(samples, overflowed)`` when
-      ``j_eff`` is below the static bound.
+      (num_segments, n_samples) int16 — or ``(samples, bad)`` when
+      ``j_eff`` is below the static bound or a speculative path engaged.
     """
     nseg = words.shape[0]
     sb = _sublane_factor(nseg)
@@ -259,15 +314,17 @@ def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
     wc = _chunk_words(j, sb)
     n_chunks = -(-words.shape[1] // wc)
     # packed-plane emission needs every displacement to fit the plane's
-    # 15-bit field. Every word contains >= 1 codeword start (pos < 32 at
-    # each word boundary), so slot (t, j)'s destination n(t)+j satisfies
-    # n(t) >= t and disp = t*J - n(t) <= (W-1)*(J-1). The slot axis itself
-    # must also stay under 2**15: the packed butterfly rolls whole VMEM
-    # rows along lanes, whose cost (and Mosaic compile time) blows up for
-    # wider axes — those route through the blocked wide kernels instead
-    # (e.g. k=15 with j_max=2 and W > 2**14).
-    if ((n_chunks * wc - 1) * (j - 1) < (1 << 15)
-            and n_chunks * wc * j < (1 << 15)):
+    # 15-bit field. A decode in word t is of a codeword starting in word
+    # t-d (d <= _LOOKBACK), and words 0..t-d-1 each contain >= 1 start,
+    # so disp = t*J + j - n <= (W-1)*(J-1) + _LOOKBACK. The slot axis
+    # itself must also stay under 2**15: the packed butterfly rolls whole
+    # VMEM rows along lanes, whose cost (and Mosaic compile time) blows
+    # up for wider axes — those route through the blocked wide kernels
+    # instead (e.g. k=15 with j_max=2 and W > 2**14).
+    disp_bound = (n_chunks * wc - 1) * (j - 1) + (_LOOKBACK if not exact
+                                                 else 0)
+    spec = False
+    if disp_bound < (1 << 15) and n_chunks * wc * j < (1 << 15):
         from .concentrate_pallas import concentrate_packed
 
         plane, ovf = _kernel_program(
@@ -279,10 +336,19 @@ def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
         (stage, ntab), ovf = _kernel_program(
             words, k, delta, sb, wc, j, interpret, False, n_samples
         )
-        out = _compaction(stage, ntab, n_samples, wc, j)
-    if exact:
+        res = _compaction(stage, ntab, n_samples, wc, j,
+                          0 if exact else _LOOKBACK, speculate)
+        if isinstance(res, tuple):
+            out, spec_bad = res
+            spec = True
+            bad = (ovf != 0) | spec_bad
+        else:
+            out = res
+    if not spec:
+        bad = ovf != 0
+    if exact and not spec:
         return out
-    return out, jnp.any(ovf != 0)
+    return out, bad
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
@@ -368,7 +434,10 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((4 * sb, _LANES), jnp.int32),
+            pltpu.VMEM(
+                ((4 + (_LOOKBACK if detect else 0)) * sb, _LANES),
+                jnp.int32,
+            ),
             pltpu.VMEM((j_eff * gsz, _LANES), jnp.int32),
         ],
         interpret=interpret,
@@ -380,15 +449,21 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
         t = jax.vmap(transpose2d)(a.reshape(blocks, rows, bseg))
         return t.reshape(blocks * bseg, rows)[:nseg]
 
-    ovf = out[-1] if detect else jnp.zeros((1,), jnp.int32)
+    if detect:
+        # (blocks, s, lane) -> per-segment flags, matching segment order
+        # (block, s*128 + lane)
+        ovf = out[-1].reshape(blocks * bseg)[:nseg]
+    else:
+        ovf = jnp.zeros((nseg,), jnp.int32)
     if packed:
         return untile(out[0]), ovf
     return (untile(out[0]), untile(out[1])), ovf
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _compaction(stage: jnp.ndarray, ntab: jnp.ndarray, n_samples: int,
-                wc: int, j_max: int):
+                wc: int, j_max: int, disp_slack: int = 0,
+                speculate: bool = False):
     """Pack staged samples densely by sample index via butterfly
     concentration.
 
@@ -421,7 +496,21 @@ def _compaction(stage: jnp.ndarray, ntab: jnp.ndarray, n_samples: int,
     valid = (j_b < c_b).reshape(nseg, r)
     slot = jnp.arange(r, dtype=jnp.int32)[None, :]
     disp = jnp.where(valid & (dest < n_samples), slot - dest, -1)
-    # every word holds >= 1 codeword start, so disp <= (W-1)*(j_max-1);
-    # the static bound lets 16-bit samples ride the single-plane kernel
-    return concentrate_pallas(stage, disp, n_samples,
-                              (n_words - 1) * (j_max - 1))
+    # every word holds >= 1 codeword start, so disp <= (W-1)*(J-1) plus
+    # the service kernel's lookback slack; the static bound lets 16-bit
+    # samples ride the single-plane kernel
+    bound = (n_words - 1) * (j_max - 1) + disp_slack
+    if (speculate and bound >= (1 << 16) and r >= (1 << 15)
+            and stage.dtype.itemsize <= 2):
+        # nEDM/NOPTREX-length segments: the static bound overflows the
+        # single-plane kernel's 16-bit displacement field, but actual
+        # displacements are ~(slots - samples) and typically fit with
+        # room to spare. Clamp the overflow to dead, run the ~1.5x-faster
+        # plane, and flag affected segments for exact re-decode.
+        from .concentrate_pallas import _concentrate_wide16
+
+        over = disp >= (1 << 16)
+        disp = jnp.where(over, -1, disp)
+        out = _concentrate_wide16(stage, disp, n_samples, (1 << 16) - 1)
+        return out, jnp.any(over, axis=1)
+    return concentrate_pallas(stage, disp, n_samples, bound)

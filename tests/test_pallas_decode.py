@@ -108,6 +108,72 @@ def test_packed_plane_wide_slot_axis_k15():
     np.testing.assert_array_equal(np.asarray(out), x)
 
 
+def test_service_hint_regimes():
+    """Header stats -> service rate: hostile regimes get small J, dense
+    matched-M regimes stay on the exact full-unroll path."""
+    from deltarice_tpu.codec import _service_hint
+
+    nv = np.full(4, 7000)
+    # escape-heavy: ~1.28 starts/word -> tiny service rate
+    assert _service_hint(np.full(4, 5469), nv, 3) == 3
+    # mismatched M=2: ~2.2 starts/word vs bound 16
+    assert _service_hint(np.full(4, 3200), nv, 1) == 4
+    # matched Nab: ~7.4 starts/word vs bound 8 -> exact
+    assert _service_hint(np.full(4, 940), nv, 3) is None
+    # degenerate zero counts don't divide by zero
+    assert _service_hint(np.zeros(2), np.full(2, 10), 3) is None
+
+
+@tpu_only
+def test_service_kernel_escape_heavy_roundtrip():
+    """Reduced-service decode (J=3 vs bound 8) on pure-escape streams."""
+    rng = np.random.default_rng(8)
+    x = rng.integers(-32768, 32768, (9, 1000)).astype(np.int16)
+    words = _encode(x, 3)
+    out, bad = unpack_decode_pallas(words, 1000, 3, True, False, 3)
+    from deltarice_tpu.codec import _redecode_bad_rows
+
+    got = _redecode_bad_rows(np.asarray(out), bad, np.asarray(words),
+                             1000, RiceConfig(8, 1000))
+    np.testing.assert_array_equal(got, x)
+
+
+@tpu_only
+def test_service_kernel_lookback_absorbs_bursts():
+    """Mixed mismatched-M data: many words exceed the service rate and
+    must be absorbed by the lookback window, not flagged."""
+    rng = np.random.default_rng(9)
+    x = np.round(np.cumsum(rng.normal(0, 10, (17, 3000)), axis=-1)).astype(
+        np.int16
+    )
+    words = _encode(x, 1)  # k=1: j_max=16, mean starts/word ~2.3
+    out, bad = unpack_decode_pallas(words, 3000, 1, True, False, 4)
+    from deltarice_tpu.codec import _redecode_bad_rows
+
+    got = _redecode_bad_rows(np.asarray(out), bad, np.asarray(words),
+                             3000, RiceConfig(2, 3000))
+    np.testing.assert_array_equal(got, x)
+
+
+@tpu_only
+def test_service_kernel_underprovisioned_flags_and_recovers():
+    """A service rate far below the data's density floods the lookback
+    window: segments flag and the exact re-decode restores correctness."""
+    rng = np.random.default_rng(10)
+    x = np.round(np.cumsum(rng.normal(0, 10, (6, 800)), axis=-1)).astype(
+        np.int16
+    )
+    words = _encode(x, 3)  # matched M=8: ~6-7 starts/word vs J=2
+    out, bad = unpack_decode_pallas(words, 800, 3, True, False, 2)
+    badn = np.asarray(bad)
+    assert badn.any(), "underprovisioned decode must flag"
+    from deltarice_tpu.codec import _redecode_bad_rows
+
+    got = _redecode_bad_rows(np.asarray(out), badn, np.asarray(words),
+                             800, RiceConfig(8, 800))
+    np.testing.assert_array_equal(got, x)
+
+
 @tpu_only
 def test_long_waveforms_noptrex_geometry():
     """500k-sample waveforms — the published NOPTREX segment length

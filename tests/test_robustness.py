@@ -108,6 +108,27 @@ def test_m1_large_values_we_are_correct_where_reference_is_broken():
             o.decompress(ours, cfg.to_cd_values()), data
         )
         ref = o.compress(data, cfg.to_cd_values())
-        assert not np.array_equal(
-            o.decompress(ref, cfg.to_cd_values()), data
-        ), "reference fixed its M=1 bug? revisit docs/Interop.md"
+        # Decoding the reference's own corrupt M=1 output is undefined
+        # behavior in its C code (OOB heap reads past the stream): it
+        # returns garbage or spins forever depending on heap contents.
+        # Sandbox the call in a subprocess; hang and mismatch both mean
+        # "still broken".
+        import subprocess as sp
+        import sys
+
+        code = (
+            "import numpy as np, sys\n"
+            "from deltarice_tpu.testing.oracle import ReferenceOracle\n"
+            "ref = sys.stdin.buffer.read()\n"
+            "out = ReferenceOracle().decompress(ref, (1,))\n"
+            "sys.stdout.buffer.write(out.tobytes())\n"
+        )
+        try:
+            res = sp.run([sys.executable, "-c", code], input=ref,
+                         capture_output=True, timeout=60)
+            decoded_ok = (res.returncode == 0
+                          and res.stdout == data.tobytes())
+        except sp.TimeoutExpired:
+            decoded_ok = False  # spun forever: definitely still broken
+        assert not decoded_ok, \
+            "reference fixed its M=1 bug? revisit docs/Interop.md"

@@ -91,7 +91,7 @@ def main():
         "encode total", lambda: encode_segments(xd, nvalid, cfg, max_words,
                                                 "pallas"), sc=sc
     )
-    (wst, kst, nw), t_ek = timeit(
+    (wst, kst, nw, _nb), t_ek = timeit(
         "  encode kernel prog (w/ transp)",
         lambda: _encode_kernel_program(xd, nvalid, cfg.k, True), sc=sc
     )
