@@ -13,6 +13,7 @@ interop with non-JAX applications.
 # package never mutates host-application JAX config). Opt out with
 # DELTARICE_TPU_CACHE=0, or call it eagerly yourself:
 from .utils.cache import enable_persistent_cache
+from .utils.warmup import warmup
 
 from .config import H5FILTER, RiceConfig, rice_k
 from .codec import (
@@ -33,4 +34,5 @@ __all__ = [
     "decompress",
     "encode_segments",
     "decode_segments",
+    "warmup",
 ]

@@ -163,6 +163,13 @@ def cmd_install_plugin(args):
     print(f"installed {install_plugin(args.plugin_dir, verbose=True)}")
 
 
+def cmd_warmup(args):
+    from .utils.warmup import warmup
+
+    warmup(cfg=RiceConfig(args.m, args.wavelength), nseg=args.segments,
+           verbose=True)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="deltarice_tpu",
@@ -207,6 +214,16 @@ def main(argv=None):
     )
     pp.add_argument("--plugin-dir", default=None)
     pp.set_defaults(fn=cmd_install_plugin)
+
+    pw = sub.add_parser(
+        "warmup",
+        help="pre-compile the codec's TPU programs for one geometry so "
+        "the first production call is warm (persistent cache)",
+    )
+    pw.add_argument("--m", type=int, default=8)
+    pw.add_argument("--wavelength", type=int, default=7000)
+    pw.add_argument("--segments", type=int, default=1024)
+    pw.set_defaults(fn=cmd_warmup)
 
     args = p.parse_args(argv)
     return args.fn(args)

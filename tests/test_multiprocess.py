@@ -23,6 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_multihost_pipeline(tmp_path):
     port = _free_port()
     env = {

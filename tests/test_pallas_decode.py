@@ -92,6 +92,7 @@ def test_decode_segments_auto_picks_pallas():
     np.testing.assert_array_equal(np.asarray(out), x)
 
 
+@pytest.mark.slow
 @tpu_only
 def test_packed_plane_wide_slot_axis_k15():
     """k=15 staging: j_max=2 keeps every displacement inside the packed
@@ -174,6 +175,7 @@ def test_service_kernel_underprovisioned_flags_and_recovers():
     np.testing.assert_array_equal(got, x)
 
 
+@pytest.mark.slow
 @tpu_only
 def test_long_waveforms_noptrex_geometry():
     """500k-sample waveforms — the published NOPTREX segment length

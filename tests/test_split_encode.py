@@ -45,6 +45,7 @@ def _serial_blob(x, cfg):
         (1, 40000, 8, 2000.0),    # escape-heavy single segment
     ],
 )
+@pytest.mark.slow
 def test_split_encode_byte_identical(nseg, length, m, sigma):
     rng = np.random.default_rng(nseg * length)
     x = np.round(
@@ -58,6 +59,7 @@ def test_split_encode_byte_identical(nseg, length, m, sigma):
     np.testing.assert_array_equal(rt.reshape(nseg, length), x)
 
 
+@pytest.mark.slow
 def test_split_leftover_segment_matches_reference_oracle():
     rng = np.random.default_rng(5)
     x = np.round(np.cumsum(rng.normal(0, 8, 150000), axis=-1)).astype(

@@ -105,6 +105,7 @@ class _SyntheticSource:
     os.environ.get("DELTARICE_BIG_TESTS") != "1",
     reason="~1 GB round trip; set DELTARICE_BIG_TESTS=1",
 )
+@pytest.mark.slow
 def test_gigabyte_roundtrip_constant_memory(tmp_path):
     """~1 GB dataset through the windowed path: peak extra host memory is
     ~one window (64 chunks x 448 KB), not the dataset size."""
