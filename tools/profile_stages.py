@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from deltarice_tpu.codec import decode_segments, encode_segments
+from deltarice_tpu.codec import encode_segments
 from deltarice_tpu.config import RiceConfig
 from deltarice_tpu.ops.pack_pallas import (
     _encode_kernel_program,
@@ -105,10 +105,15 @@ def main():
     w = int(np.asarray(nwords).max()) + 1
     w = -(-w // 256) * 256
     wd = jnp.asarray(np.asarray(words)[:, :w])
+    from deltarice_tpu.codec import _decode_device, _service_hint
+
+    j_eff = _service_hint(np.asarray(nwords), np.asarray(nvalid), cfg.k)
     _, t_dec = timeit(
-        "decode total", lambda: decode_segments(wd, length, cfg, "pallas"),
-        sc=sc,
+        "decode total",
+        lambda: _decode_device(wd, length, cfg, j_eff)[0], sc=sc,
     )
+    if j_eff is not None:
+        print(f"  (service rate J={j_eff} vs bound)")
     sb = _sublane_factor(nseg)
     jmax = codewords_per_word(cfg.k)
     wc = _chunk_words(jmax, sb)
