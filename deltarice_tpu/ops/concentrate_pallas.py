@@ -44,14 +44,26 @@ _DEAD = -(1 << 31)  # int32 min
 _VMEM_BUDGET = 12 << 20  # leave headroom under the ~16 MB/core VMEM
 
 
-def _block_rows(rp: int, n_planes: int) -> int:
-    """Rows per grid step: ~3 live (BS, rp) i32 arrays per plane must fit
-    VMEM. Clamped to [8, 64] in sublane multiples."""
-    bs = _VMEM_BUDGET // (rp * 4 * 3 * n_planes)
+def _block_rows(rp: int, plane_bytes: int) -> int:
+    """Rows per grid step: ~3 live (BS, rp) arrays of ``plane_bytes``
+    total bytes/slot must fit VMEM. Clamped to [8, 64] in sublane
+    multiples."""
+    bs = _VMEM_BUDGET // (rp * 3 * plane_bytes)
     return max(8, min(64, (bs // 8) * 8))
 
 
-def _conc_kernel(*refs, rp: int, n_planes: int, passes: tuple[int, ...]):
+def _conc_kernel(*refs, rp: int, n_planes: int, passes: tuple[int, ...],
+                 follower: bool):
+    """Butterfly passes over VMEM-resident row blocks.
+
+    ``ins[0]`` is always a packed ``disp << 16 | halfword`` LEADER whose
+    bits route every pass. With ``follower`` the second plane is pure
+    int16 payload that just follows the leader's move decision — the
+    move candidate is live iff its disp bit is set (dead slots' disp
+    field is all-zero), and monotone conflict-freedom guarantees at most
+    one live candidate per slot, so "a mover exists" decides the select
+    without comparing magnitudes.
+    """
     ins, outs = refs[:n_planes], refs[n_planes:]
     rows = ins[0].shape[0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (rows, rp), 1)
@@ -60,18 +72,34 @@ def _conc_kernel(*refs, rp: int, n_planes: int, passes: tuple[int, ...]):
         s = 1 << b
         smask = jnp.int32(s << 16)
         edge = cols < (rp - s)  # roll wraps cols >= rp-s; those die
-        nxt = []
-        for p in planes:
-            # left-roll by s == circular roll by rp - s (pltpu.roll
-            # requires a non-negative shift)
-            sh = jnp.where(edge, pltpu.roll(p, rp - s, axis=1), _DEAD)
-            stay = jnp.where((p & smask) == 0, p, _DEAD)
-            move = jnp.where((sh & smask) != 0, sh - smask, _DEAD)
-            nxt.append(jnp.maximum(stay, move))
-        planes = nxt
-    for ref, p in zip(outs, planes):
+        if follower:
+            lead, follow = planes
+            sh = jnp.where(edge, pltpu.roll(lead, rp - s, axis=1), _DEAD)
+            moved = (sh & smask) != 0
+            stay = jnp.where((lead & smask) == 0, lead, _DEAD)
+            move = jnp.where(moved, sh - smask, _DEAD)
+            fsh = pltpu.roll(follow, rp - s, axis=1)
+            planes = [jnp.maximum(stay, move),
+                      jnp.where(moved, fsh, follow)]
+        else:
+            nxt = []
+            for p in planes:
+                # left-roll by s == circular roll by rp - s (pltpu.roll
+                # requires a non-negative shift)
+                sh = jnp.where(edge, pltpu.roll(p, rp - s, axis=1), _DEAD)
+                stay = jnp.where((p & smask) == 0, p, _DEAD)
+                move = jnp.where((sh & smask) != 0, sh - smask, _DEAD)
+                nxt.append(jnp.maximum(stay, move))
+            planes = nxt
+    lead_out = planes[0][:, : outs[0].shape[1]]
+    alive = lead_out != _DEAD
+    outs[0][:, :] = jnp.where(alive, lead_out & 0xFFFF, 0)
+    for ref, p in zip(outs[1:], planes[1:]):
         keep = p[:, : ref.shape[1]]
-        ref[:, :] = jnp.where(keep == _DEAD, 0, keep & 0xFFFF)
+        if follower:
+            ref[:, :] = jnp.where(alive, keep, 0).astype(ref.dtype)
+        else:
+            ref[:, :] = jnp.where(keep == _DEAD, 0, keep & 0xFFFF)
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -79,13 +107,15 @@ def _run(planes: tuple[jnp.ndarray, ...], n_out: int):
     rows, r = planes[0].shape
     rp = -(-r // _LANE) * _LANE
     n = len(planes)
-    bs = _block_rows(rp, n)
+    follower = n == 2 and planes[1].dtype == jnp.int16
+    bs = _block_rows(rp, sum(p.dtype.itemsize for p in planes))
     rowp = -(-rows // bs) * bs
     # a stream shorter than its segment can stage fewer slots than the
     # requested output; the surplus tail pads with zeros at the end
     n_out_p = min(-(-n_out // _LANE) * _LANE, rp)
     padded = [
-        jnp.pad(p, ((0, rowp - rows), (0, rp - r)), constant_values=_DEAD)
+        jnp.pad(p, ((0, rowp - rows), (0, rp - r)),
+                constant_values=(0 if p.dtype == jnp.int16 else _DEAD))
         for p in planes
     ]
     # the packed-plane format carries a 15-bit displacement (bits 16..30;
@@ -96,7 +126,7 @@ def _run(planes: tuple[jnp.ndarray, ...], n_out: int):
     passes = tuple(b for b in range(max(1, min(15, (rp - 1).bit_length())))
                    if (1 << b) < rp)
     kern = functools.partial(
-        _conc_kernel, rp=rp, n_planes=n, passes=passes
+        _conc_kernel, rp=rp, n_planes=n, passes=passes, follower=follower
     )
     outs = pl.pallas_call(
         kern,
@@ -110,8 +140,9 @@ def _run(planes: tuple[jnp.ndarray, ...], n_out: int):
                          memory_space=pltpu.VMEM)
         ] * n,
         out_shape=[
-            jax.ShapeDtypeStruct((rowp, n_out_p), jnp.int32)
-        ] * n,
+            jax.ShapeDtypeStruct((rowp, n_out_p), p.dtype)
+            for p in planes
+        ],
     )(*padded)
     if n_out_p < n_out:
         outs = [jnp.pad(o, ((0, 0), (0, n_out - n_out_p))) for o in outs]
@@ -128,14 +159,19 @@ def concentrate_packed(planes, n_out: int, wide: bool):
     a ``pallas_call``, so that pass costs a full HBM round trip of the
     staging arrays per plane. Dead slots must be ``INT32_MIN``.
 
-    planes: tuple of (rows, R) int32 packed planes (1 for 16-bit
-      payloads, 2 — high then low halfword — for 32-bit).
-    wide: True to reassemble a uint32 payload from two planes.
+    planes: tuple of (rows, R) planes: 1 int32 packed plane for 16-bit
+      payloads; for 32-bit payloads the int32 packed LEADER (disp +
+      high halfword) plus a pure-int16 FOLLOWER (low halfword) that
+      rides the leader's routing — the displacement is stored once and
+      half the traffic moves at half width.
+    wide: True to reassemble a uint32 payload from the two planes.
     """
     outs = _run(tuple(planes), n_out)
     if wide:
         hi, lo = outs
-        return ((hi << 16) | (lo & 0xFFFF)).astype(jnp.uint32)
+        return ((hi << 16) | (lo.astype(jnp.int32) & 0xFFFF)).astype(
+            jnp.uint32
+        )
     return outs[0]
 
 
@@ -433,6 +469,8 @@ def concentrate_pallas(values: jnp.ndarray, disp: jnp.ndarray, n_out: int,
         return out.astype(values.dtype)
     v = values.astype(jnp.int32)
     hi = base | jnp.where(d < 0, 0, (v >> 16) & 0xFFFF)
-    lo = base | jnp.where(d < 0, 0, v & 0xFFFF)
+    lo = (v & 0xFFFF).astype(jnp.int16)  # follower: payload only
     out_hi, out_lo = _run((hi, lo), n_out)
-    return ((out_hi << 16) | (out_lo & 0xFFFF)).astype(values.dtype)
+    return ((out_hi << 16) | (out_lo.astype(jnp.int32) & 0xFFFF)).astype(
+        values.dtype
+    )

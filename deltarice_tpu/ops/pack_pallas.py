@@ -63,10 +63,11 @@ def _pack_kernel(x_ref, nvalid_ref, prev0_ref, wstage_ref, kstage_ref,
                 which makes the split encode bit-identical to the serial
                 one — the delta recurrence's only cross-block state).
     wstage_ref: (sc*8, 128) — emitted word of sample slot i (or 0), as
-                uint32; with ``packed``, int32 concentration plane
-                ``disp << 16 | word-high-half`` (dead = INT32_MIN).
+                uint32; with ``packed``, the int32 concentration LEADER
+                plane ``disp << 16 | word-high-half`` (dead = INT32_MIN).
     kstage_ref: (sc*8, 128) int32 — word index key (INT32_MAX if no
-                word); with ``packed``, the low-half plane.
+                word); with ``packed``, the int16 FOLLOWER plane of raw
+                low halfwords (routed by the leader's bits downstream).
     nw_ref:     (8, 128) int32 — total words (written by the last step).
     nb_ref:     (8, 128) int32 — total code BITS (written by the last
                 step); sub-block streams concatenate at bit offsets, so
@@ -131,13 +132,17 @@ def _pack_kernel(x_ref, nvalid_ref, prev0_ref, wstage_ref, kstage_ref,
             pos = pos + clen
             emit = pos >= 32
             if packed:
+                # leader plane: disp + high halfword; follower plane:
+                # pure low halfword (the concentration routes it by the
+                # leader's bits, so the displacement is stored ONCE and
+                # the follower moves at int16 width)
                 disp = (gidx - n) << 16
                 wi = ahi.astype(jnp.int32)
                 scratch_ref[tt * _SB : (tt + 1) * _SB, :] = jnp.where(
                     emit, disp | ((wi >> 16) & 0xFFFF), _DEAD
                 )
                 scratch_ref[(_GROUP + tt) * _SB : (_GROUP + tt + 1) * _SB, :] = (
-                    jnp.where(emit, disp | (wi & 0xFFFF), _DEAD)
+                    wi & 0xFFFF
                 )
             else:
                 scratch_ref[tt * _SB : (tt + 1) * _SB, :] = jnp.where(
@@ -153,7 +158,9 @@ def _pack_kernel(x_ref, nvalid_ref, prev0_ref, wstage_ref, kstage_ref,
         wstage_ref[pl.ds(row0, gsz), :] = scratch_ref[0:gsz, :].astype(
             wstage_ref.dtype
         )
-        kstage_ref[pl.ds(row0, gsz), :] = scratch_ref[gsz : 2 * gsz, :]
+        kstage_ref[pl.ds(row0, gsz), :] = scratch_ref[
+            gsz : 2 * gsz, :
+        ].astype(kstage_ref.dtype)
         return prev, pos, n, ahi, alo
 
     prev, pos, n, ahi, alo = jax.lax.fori_loop(
@@ -177,9 +184,9 @@ def _pack_kernel(x_ref, nvalid_ref, prev0_ref, wstage_ref, kstage_ref,
             wstage_ref[tail_row : tail_row + _SB, :] = jnp.where(
                 has_tail, dispt | ((wi >> 16) & 0xFFFF), _DEAD
             ).astype(wstage_ref.dtype)
-            kstage_ref[tail_row : tail_row + _SB, :] = jnp.where(
-                has_tail, dispt | (wi & 0xFFFF), _DEAD
-            )
+            kstage_ref[tail_row : tail_row + _SB, :] = (
+                wi & 0xFFFF
+            ).astype(kstage_ref.dtype)
         else:
             wstage_ref[tail_row : tail_row + _SB, :] = jnp.where(
                 has_tail, ahi, _U32(0)
@@ -283,7 +290,9 @@ def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
                 (blocks, lp * _SB, _LANES),
                 jnp.int32 if packed else jnp.uint32,
             ),
-            jax.ShapeDtypeStruct((blocks, lp * _SB, _LANES), jnp.int32),
+            # packed: follower plane is pure int16 low halfwords
+            jax.ShapeDtypeStruct((blocks, lp * _SB, _LANES),
+                                 jnp.int16 if packed else jnp.int32),
             jax.ShapeDtypeStruct((blocks, _SB, _LANES), jnp.int32),
             jax.ShapeDtypeStruct((blocks, _SB, _LANES), jnp.int32),
         ],
@@ -314,7 +323,8 @@ def _placement(wstage, kstage, max_words: int, packed: bool):
     strictly increasing), i.e. "sorted with gaps" — exactly the butterfly
     concentration precondition, which costs ~14 shift+select passes instead
     of a ~196-pass sort network. In packed mode the kernel already emitted
-    the concentration's hi/lo planes; otherwise (slot axis >= 2**15, where
+    the concentration's leader + int16 follower planes; otherwise (slot
+    axis >= 2**15, where
     displacements outgrow the packed 15-bit field) the XLA two-plane
     butterfly routes (value, key) staging.
     """
