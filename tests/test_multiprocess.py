@@ -14,6 +14,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 _REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
