@@ -63,9 +63,33 @@ def _timeit(fn, *args, iters: int = 60, sync_cost: float = 0.0):
         iters *= 4
 
 
+def _require_device(timeout_s: float = 240.0):
+    """Fail fast (clear message, rc 1) if device init hangs.
+
+    The dev relay's device grant can wedge server-side; jax.devices()
+    then blocks forever, which would silently eat the whole benchmark
+    window. Probing in a subprocess keeps this process clean."""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        sys.stderr.write(
+            "bench.py: device backend unreachable (relay/device init did "
+            f"not answer within {timeout_s:.0f}s) — no measurement taken\n"
+        )
+        raise SystemExit(1)
+
+
 def main():
     import sys
 
+    _require_device()
     if "--file" in sys.argv:
         # end-to-end HDF5 file<->RAM mode (reference headline metric):
         # ours-native vs reference-C through the identical h5py pipeline,
