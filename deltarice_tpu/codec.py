@@ -39,17 +39,20 @@ _WORD_BUCKET = 256  # decode pads segment word counts up to a multiple of this
                     # to bound the number of distinct compiled shapes
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 6))
 def _encode_segments_xla(x: jnp.ndarray, nvalid: jnp.ndarray,
                          cfg: RiceConfig, max_words: int,
-                         method: str = "segsum", prev0=None):
+                         method: str = "segsum", prev0=None,
+                         prefiltered: bool = False):
     """Pure-XLA encode path (prefix-sum + boundary-gather packing).
 
     Shape-agnostic and correct everywhere; on TPU its gathers are slow, so
     it serves as the CPU/mesh path and the kernel's correctness oracle.
     Returns (words, nwords, nbits).
     """
-    d = prefilter_encode(x, cfg.filt, prev0)
+    d = x.astype(jnp.int16) if prefiltered else prefilter_encode(
+        x, cfg.filt, prev0
+    )
     u = zigzag(d)
     lens, vals = codeword_lengths_values(u, cfg.k)
     mask = jnp.arange(x.shape[-1], dtype=jnp.int32)[None, :] < nvalid[:, None]
@@ -80,23 +83,30 @@ def encode_segments(x: jnp.ndarray, nvalid: jnp.ndarray, cfg: RiceConfig,
 
 def encode_segments_bits(x: jnp.ndarray, nvalid: jnp.ndarray,
                          cfg: RiceConfig, max_words: int,
-                         method: str = "auto", prev0=None):
+                         method: str = "auto", prev0=None,
+                         prefiltered: bool = False):
     """:func:`encode_segments` plus exact per-stream bit counts and an
     optional initial delta state — what sub-block-split encoding needs
     (streams concatenate at bit offsets; delta chains continue across
-    blocks). Returns (words, nwords, nbits)."""
+    blocks). ``prefiltered`` skips the pre-filter (the generic-FIR split
+    path filters with a halo before splitting). Returns
+    (words, nwords, nbits)."""
     enable_persistent_cache()  # first TPU compile costs minutes; persist it
     if method == "auto":
         method = "pallas" if jax.default_backend() == "tpu" else "segsum"
     if method == "pallas":
         from .ops.pack_pallas import pack_encode_pallas_bits
 
+        if prefiltered:
+            return pack_encode_pallas_bits(x, nvalid, cfg.k, max_words,
+                                           False)
         if cfg.is_delta:
             return pack_encode_pallas_bits(x, nvalid, cfg.k, max_words,
                                            True, prev0)
         d = prefilter_encode(x, cfg.filt, prev0)
         return pack_encode_pallas_bits(d, nvalid, cfg.k, max_words, False)
-    return _encode_segments_xla(x, nvalid, cfg, max_words, method, prev0)
+    return _encode_segments_xla(x, nvalid, cfg, max_words, method, prev0,
+                                prefiltered)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -230,8 +240,8 @@ _LANE_TARGET = 1024      # one full kernel block of lanes
 
 
 def _split_parts(nseg: int, length: int, cfg: RiceConfig) -> int:
-    """Sub-blocks per segment (1 = no split; delta filter only)."""
-    if not cfg.is_delta or length < 2 * _SPLIT_MIN_SUB:
+    """Sub-blocks per segment (1 = no split)."""
+    if length < 2 * _SPLIT_MIN_SUB:
         return 1
     parts = 1
     # fill the lane grid, then keep halving until the slot axis is packed
@@ -242,23 +252,62 @@ def _split_parts(nseg: int, length: int, cfg: RiceConfig) -> int:
     return parts
 
 
-def _split_layout(padded: np.ndarray, nvalid: np.ndarray, parts: int):
-    """(rows, L) -> ((rows*parts, Ls), per-sub nvalid, per-sub prev0)."""
+def _split_layout(padded: np.ndarray, nvalid: np.ndarray, parts: int,
+                  halo: int = 0):
+    """(rows, L) -> ((rows*parts, halo+Ls), per-sub nvalid, per-sub prev0).
+
+    ``halo`` leading samples per sub-block carry the predecessor's tail
+    (zeros for the first block) — what a generic causal FIR pre-filter
+    needs to produce the serial pass's outputs at block starts; the
+    delta path instead uses ``prev0`` (its entire recurrence state).
+    """
     rows, length = padded.shape
     ls = -(-length // parts)
     xp = padded
-    if parts * ls != length:
-        xp = np.zeros((rows, parts * ls), padded.dtype)
-        xp[:, :length] = padded
-    x3 = xp.reshape(rows, parts, ls)
+    if parts * ls != length or halo:
+        xp = np.zeros((rows, halo + parts * ls), padded.dtype)
+        xp[:, halo : halo + length] = padded
+        if halo:
+            strided = np.lib.stride_tricks.sliding_window_view(
+                xp, halo + ls, axis=1
+            )[:, ::ls][:, :parts]
+            x3 = strided
+        else:
+            x3 = xp[:, halo:].reshape(rows, parts, ls)
+    else:
+        x3 = xp.reshape(rows, parts, ls)
     prev0 = np.zeros((rows, parts), np.int32)
     prev0[:, 1:] = x3[:, :-1, -1]
     nv = np.clip(
         nvalid[:, None] - np.arange(parts, dtype=np.int64)[None, :] * ls,
         0, ls,
     ).astype(np.int32)
-    return (x3.reshape(rows * parts, ls), nv.reshape(-1),
-            prev0.reshape(-1), ls)
+    return (np.ascontiguousarray(x3.reshape(rows * parts, halo + ls)),
+            nv.reshape(-1), prev0.reshape(-1), ls)
+
+
+def _encode_split_rows(padded2d: np.ndarray, nvalid_rows: np.ndarray,
+                       cfg: RiceConfig, parts: int, method: str):
+    """Sub-block-split encode of (rows, L): returns (words, nwords,
+    nbits, sub_length). Delta seeds each block with its predecessor's
+    last sample; generic FIR filters each block over a (ntaps-1)-sample
+    halo of preceding raw samples — both reproduce the serial filter
+    outputs exactly, so the merged stream is byte-identical."""
+    if cfg.is_delta:
+        xs, nv, p0, ls = _split_layout(padded2d, nvalid_rows, parts)
+        w, nw, nb = encode_segments_bits(
+            jnp.asarray(xs), jnp.asarray(nv), cfg, cfg.max_words(ls),
+            method, jnp.asarray(p0),
+        )
+    else:
+        halo = len(cfg.filt) - 1
+        xs, nv, _p0, ls = _split_layout(padded2d, nvalid_rows, parts, halo)
+        d = prefilter_encode(jnp.asarray(xs), cfg.filt)[:, halo:]
+        w, nw, nb = encode_segments_bits(
+            d, jnp.asarray(nv), cfg, cfg.max_words(ls), method,
+            prefiltered=True,
+        )
+    return w, nw, nb, ls
 
 
 def merge_substreams(words3: np.ndarray, nbits2: np.ndarray):
@@ -322,10 +371,8 @@ def compress(data, cfg: RiceConfig = RiceConfig(), method: str = "auto") -> byte
     padded.ravel()[:total] = x
     parts = _split_parts(nseg, length, cfg)
     if parts > 1:
-        xs, nv, p0, ls = _split_layout(padded, nvalid, parts)
-        words, nwords, nbits = encode_segments_bits(
-            jnp.asarray(xs), jnp.asarray(nv), cfg, cfg.max_words(ls),
-            method, jnp.asarray(p0),
+        words, nwords, nbits, _ls = _encode_split_rows(
+            padded, nvalid, cfg, parts, method
         )
         nws = np.asarray(nwords)
         w = max(int(nws.max(initial=0)), 1)
@@ -392,13 +439,9 @@ def compress_batch_dispatch(chunks, cfg: RiceConfig = RiceConfig(),
     padded.reshape(nchunks, -1)[:, :total] = np.stack(arrs)
     parts = _split_parts(nseg, length, cfg)
     if parts > 1:
-        xs, nv, p0, ls = _split_layout(
-            padded.reshape(nchunks * nseg, length), np.tile(nvalid, nchunks),
-            parts,
-        )
-        words, nwords, nbits = encode_segments_bits(
-            jnp.asarray(xs), jnp.asarray(nv), cfg, cfg.max_words(ls),
-            method, jnp.asarray(p0),
+        words, nwords, nbits, _ls = _encode_split_rows(
+            padded.reshape(nchunks * nseg, length),
+            np.tile(nvalid, nchunks), cfg, parts, method,
         )
         return (arrs, total, words, nwords, nbits, parts)
     words, nwords = encode_segments(

@@ -60,6 +60,21 @@ def test_split_encode_byte_identical(nseg, length, m, sigma):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("filt", [(1, -1), (1, -2, 1), (2, 1)])
+def test_split_generic_filter_byte_identical(filt):
+    """FIR split: each sub-block filters over a halo of preceding raw
+    samples, reproducing the serial filter outputs exactly."""
+    rng = np.random.default_rng(11)
+    x = np.round(
+        np.cumsum(rng.normal(0, 6, (2, 50000)), axis=-1)
+    ).astype(np.int16)
+    cfg = RiceConfig(8, 50000, filt)
+    assert _split_parts(2, 50000, cfg) > 1
+    blob = drt.compress(x, cfg, method="segsum")
+    assert blob == _serial_blob(x, cfg)
+
+
+@pytest.mark.slow
 def test_split_leftover_segment_matches_reference_oracle():
     rng = np.random.default_rng(5)
     x = np.round(np.cumsum(rng.normal(0, 8, 150000), axis=-1)).astype(
@@ -79,7 +94,7 @@ def test_split_parts_policy():
     assert _split_parts(256, 500000, delta) == 16          # NOPTREX
     assert _split_parts(1024, 81920, delta) == 4           # nEDM -> packed
     fir = RiceConfig(8, -1, (1, -2, 1))
-    assert _split_parts(256, 500000, fir) == 1             # generic filter
+    assert _split_parts(256, 500000, fir) == 16            # FIR splits too
 
 
 @pytest.mark.parametrize("use_native", [True, False])
