@@ -175,6 +175,219 @@ def concentrate_packed(planes, n_out: int, wide: bool):
     return outs[0]
 
 
+# --- tiled concentration: butterfly passes in the codec kernels' own
+# --- layout (row = slot*sb + s), no lane rolls, no untile transposes ----
+#
+# The Mosaic codec kernels stage (blocks, R*sb, 128) arrays where the
+# slot axis lives on ROWS with an sb-way sublane interleave and the 128
+# lanes are independent segments. Concentrating in that layout means a
+# stride-t butterfly pass is a SUBLANE shift by t*sb rows (a static
+# slice — the cheapest data movement the VPU has), where the untiled
+# formulation needs full-width lane rolls (cross-lane permutes, the
+# dominant cost of :func:`_conc_kernel`) plus a 128x128-tiled transpose
+# of the whole staging array on each side. Same two-level decomposition
+# as the wide kernels: low strides over 2-block halo windows, then
+# block strides over (nbk, rstripe) column stripes.
+
+_TBLK = 256  # tiled-kernel block, in slots (window = 2*_TBLK*sb rows)
+
+
+def _tconc_finalize(lead, follow, emit: str):
+    """Home-select + output formatting shared by the tiled kernels.
+
+    An element has arrived iff its displacement field is zero and it is
+    not the dead sentinel — both equivalent to ``lead >> 16 == 0``
+    (valid planes keep bit 31 clear; DEAD has it set)."""
+    arrived = (lead >> 16) == 0
+    half = jnp.where(arrived, lead, 0)
+    if emit == "int16":
+        return ((half << 16) >> 16).astype(jnp.int16)
+    hi = half << 16
+    lo = jnp.where(arrived, follow.astype(jnp.int32) & 0xFFFF, 0)
+    return (hi | lo).astype(jnp.uint32)
+
+
+def _tconc_low_kernel(*refs, sb: int, follower: bool, emit: str):
+    """Low-stride passes (1.._TBLK/2 slots) over a 2-block row window.
+
+    Window = rows [j*_TBLK*sb, (j+2)*_TBLK*sb); emits block j. After
+    pass b an element of the output block originated < 2^(b+1) <= _TBLK
+    slots to the right, so the one-block halo covers every low pass;
+    the window's right half degrades pass by pass and is discarded.
+    With ``emit`` != 'planes' this is the final kernel: arrived
+    elements are selected and formatted in-register.
+    """
+    n_in = 4 if follower else 2
+    ins, outs = refs[:n_in], refs[n_in:]
+    lead = jnp.concatenate([ins[0][:, :], ins[1][:, :]], axis=0)
+    follow = (
+        jnp.concatenate([ins[2][:, :], ins[3][:, :]], axis=0)
+        if follower else None
+    )
+    rows = lead.shape[0]
+    for b in range(_TBLK.bit_length() - 1):
+        rshift = (1 << b) * sb
+        smask = jnp.int32(1 << (16 + b))
+        dead = jnp.full((rshift, lead.shape[1]), _DEAD, jnp.int32)
+        sh = jnp.concatenate([lead[rshift:], dead], axis=0)
+        stay = jnp.where((lead & smask) == 0, lead, _DEAD)
+        move = jnp.where((sh & smask) != 0, sh - smask, _DEAD)
+        if follower:
+            moved = (sh & smask) != 0
+            fsh = jnp.concatenate(
+                [follow[rshift:], jnp.zeros((rshift, follow.shape[1]),
+                                            follow.dtype)], axis=0
+            )
+            follow = jnp.where(moved, fsh, follow)
+        lead = jnp.maximum(stay, move)
+    keep = rows // 2
+    if emit == "planes":
+        outs[0][:, :] = lead[:keep]
+        if follower:
+            outs[1][:, :] = follow[:keep]
+    else:
+        outs[0][:, :] = _tconc_finalize(
+            lead[:keep], follow[:keep] if follower else None, emit
+        )
+
+
+def _tconc_high_kernel(*refs, passes: int, lb: int, follower: bool,
+                       emit: str, nbk_out: int):
+    """Block-stride passes + final select over a (nbk, rstripe) stripe.
+
+    After the low sweep every remaining displacement is a multiple of
+    _TBLK, so elements only move whole blocks at a fixed within-block
+    row — i.e. along axis 0 of the (nbk, bslots*sb, lanes) view, which
+    this kernel walks entirely in VMEM with static axis-0 shifts.
+    """
+    ins, outs = refs[: 2 if follower else 1], refs[2 if follower else 1:]
+    lead = ins[0][:, :, :]
+    follow = ins[1][:, :, :] if follower else None
+    for h in range(passes):
+        s = 1 << h
+        smask = jnp.int32(1 << (16 + lb + h))
+        dead = jnp.full((s,) + lead.shape[1:], _DEAD, jnp.int32)
+        sh = jnp.concatenate([lead[s:], dead], axis=0)
+        stay = jnp.where((lead & smask) == 0, lead, _DEAD)
+        move = jnp.where((sh & smask) != 0, sh - smask, _DEAD)
+        if follower:
+            moved = (sh & smask) != 0
+            fsh = jnp.concatenate(
+                [follow[s:], jnp.zeros((s,) + follow.shape[1:],
+                                       follow.dtype)], axis=0
+            )
+            follow = jnp.where(moved, fsh, follow)
+        lead = jnp.maximum(stay, move)
+    outs[0][:, :, :] = _tconc_finalize(
+        lead[:nbk_out], follow[:nbk_out] if follower else None, emit
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def concentrate_tiled(planes, n_out: int, sb: int, disp_bound: int,
+                      emit: str = "int16", interpret: bool = False):
+    """Concentrate packed planes in the codec kernels' TILED layout.
+
+    planes: 1 or 2 arrays of shape (blocks, R*sb, lanes); row slot*sb+s
+      of block b holds slot ``slot`` of segment (b, s*lanes + lane).
+      planes[0] is the int32 packed leader ``disp << 16 | halfword``
+      (dead = INT32_MIN, disp < 2**15); planes[1], if present, an int16
+      follower routed by the leader's bits.
+    n_out: output slots per segment.
+    disp_bound: static displacement bound; prunes block-stride passes.
+    emit: 'int16' — sign-extended halfword samples (decode);
+          'u32'  — ``leader_half << 16 | follower_half`` words (encode).
+
+    Returns (blocks, n_out*sb, lanes) in the same tiled layout; slots
+    past a segment's staged range are zero. Callers untile AFTER — the
+    transpose then runs at output width/dtype instead of staging width.
+    """
+    lead = planes[0]
+    follower = len(planes) == 2
+    blocks, rows, lanes = lead.shape
+    r = rows // sb
+    nbk = -(-r // _TBLK)
+    lb = _TBLK.bit_length() - 1
+    hp = 0
+    while (_TBLK << hp) <= disp_bound and (1 << hp) < nbk:
+        hp += 1
+    n_out_slots = min(n_out, nbk * _TBLK)
+    nbk_out = -(-n_out_slots // _TBLK)
+    brows = _TBLK * sb
+    # pad the slot axis to whole blocks + one all-dead halo block
+    pad = ((0, 0), (0, (nbk + 1) * brows - rows), (0, 0))
+    lead = jnp.pad(lead, pad, constant_values=_DEAD)
+    ins = [lead, lead]
+    if follower:
+        fol = jnp.pad(planes[1], pad)
+        ins += [fol, fol]
+    low_emit = "planes" if hp else emit
+    low_nbk = nbk if hp else nbk_out
+    blk = lambda off: pl.BlockSpec(  # noqa: E731
+        (None, brows, lanes), lambda b, j, o=off: (b, j + o, 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [blk(0), blk(1)] + ([blk(0), blk(1)] if follower else [])
+    if low_emit == "planes":
+        out_specs = [blk(0)] + ([blk(0)] if follower else [])
+        out_shapes = [
+            jax.ShapeDtypeStruct((blocks, low_nbk * brows, lanes),
+                                 jnp.int32)
+        ] + ([jax.ShapeDtypeStruct((blocks, low_nbk * brows, lanes),
+                                   jnp.int16)] if follower else [])
+    else:
+        odt = jnp.int16 if emit == "int16" else jnp.uint32
+        out_specs = [blk(0)]
+        out_shapes = [
+            jax.ShapeDtypeStruct((blocks, low_nbk * brows, lanes), odt)
+        ]
+    low = pl.pallas_call(
+        functools.partial(_tconc_low_kernel, sb=sb, follower=follower,
+                          emit=low_emit),
+        grid=(blocks, low_nbk),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*ins)
+    if not isinstance(low, (list, tuple)):
+        low = [low]
+    if hp:
+        v3 = [a.reshape(blocks, nbk, brows, lanes) for a in low]
+        # stripe rows: whole stripe set x nbk blocks must fit VMEM
+        rstripe = 512
+        per_row = nbk * lanes * (6 if follower else 4) * 2
+        while rstripe > 16 and rstripe * per_row > (4 << 20):
+            rstripe //= 2
+        while brows % rstripe:
+            rstripe //= 2
+        odt = jnp.int16 if emit == "int16" else jnp.uint32
+        stripe = lambda nb: pl.BlockSpec(  # noqa: E731
+            (None, nb, rstripe, lanes), lambda b, t: (b, 0, t, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out = pl.pallas_call(
+            functools.partial(_tconc_high_kernel, passes=hp, lb=lb,
+                              follower=follower, emit=emit,
+                              nbk_out=nbk_out),
+            grid=(blocks, brows // rstripe),
+            in_specs=[stripe(nbk)] * len(v3),
+            out_specs=stripe(nbk_out),
+            out_shape=jax.ShapeDtypeStruct(
+                (blocks, nbk_out, brows, lanes), odt
+            ),
+            interpret=interpret,
+        )(*v3).reshape(blocks, nbk_out * brows, lanes)
+    else:
+        out = low[0]
+    want = n_out * sb
+    if out.shape[1] > want:
+        out = out[:, :want, :]
+    elif out.shape[1] < want:
+        out = jnp.pad(out, ((0, 0), (0, want - out.shape[1]), (0, 0)))
+    return out
+
+
 _WBLK = 1 << 12  # wide-kernel column block. Trades expensive lane-axis
 # rolls (the 2-block halo sweep runs log2(B) passes) against cheap
 # sublane shifts (the stripe kernel runs the remaining log2(R/B) passes

@@ -33,6 +33,7 @@ the same architecture as the decode kernel (:mod:`.unpack_pallas`):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +41,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ESCAPE_Q
+
+#: place words with the tiled (sublane-shift) butterfly in the kernel's own
+#: layout; DELTARICE_TPU_TILED_CONC=0 falls back to untile + lane rolls.
+_TILED = os.environ.get("DELTARICE_TPU_TILED_CONC", "1") == "1"
 
 _U32 = jnp.uint32
 _LANES = 128
@@ -220,6 +225,23 @@ def pack_encode_pallas_bits(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
     Returns (words (S, max_words) uint32, nwords (S,), nbits (S,)).
     """
     packed = _is_packed(x.shape[1])
+    if packed and _TILED:
+        from .concentrate_pallas import concentrate_tiled
+        from .unpack_pallas import untile_rows
+
+        wstage, kstage, nwords, nbits = _encode_kernel_program(
+            x, nvalid, k, diff, prev0, tiled=True
+        )
+        lp = wstage.shape[1] // _SB
+        n_out = min(max_words, lp)
+        out_t = concentrate_tiled(
+            (wstage, kstage), n_out, _SB, min(lp - 1, (1 << 15) - 1),
+            "u32",
+        )
+        words = untile_rows(out_t, x.shape[0], _SB)
+        if words.shape[1] < max_words:
+            words = jnp.pad(words, ((0, 0), (0, max_words - words.shape[1])))
+        return words, nwords, nbits
     wstage, kstage, nwords, nbits = _encode_kernel_program(
         x, nvalid, k, diff, prev0
     )
@@ -232,9 +254,9 @@ def _is_packed(length: int) -> bool:
     return (length // _CHUNK + 1) * _CHUNK < (1 << 15)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 5))
 def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
-                           diff: bool, prev0=None):
+                           diff: bool, prev0=None, tiled: bool = False):
     from .transpose_pallas import transpose2d
 
     nseg, length = x.shape
@@ -308,8 +330,9 @@ def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
         t = jax.vmap(transpose2d)(a.reshape(blocks, rows, bseg))
         return t.reshape(blocks * bseg, rows)[:nseg]
 
-    wstage = untile(wstage)
-    kstage = untile(kstage)
+    if not tiled:
+        wstage = untile(wstage)
+        kstage = untile(kstage)
     nw = nw.reshape(blocks * bseg)[:nseg]
     nb = nb.reshape(blocks * bseg)[:nseg]
     return wstage, kstage, nw, nb

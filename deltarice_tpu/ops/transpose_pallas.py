@@ -22,8 +22,8 @@ def _tr_kernel(x_ref, o_ref):
     o_ref[:, :] = x_ref[:, :].T
 
 
-@functools.partial(jax.jit, static_argnums=())
-def transpose2d(x: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnums=(1,))
+def transpose2d(x: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """(A, B) -> (B, A), padding both axes up to multiples of 128."""
     a, b = x.shape
     ap = -(-a // _TILE) * _TILE
@@ -40,5 +40,6 @@ def transpose2d(x: jnp.ndarray) -> jnp.ndarray:
         out_specs=pl.BlockSpec((_TILE, _TILE), lambda i, j: (j, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, ap), x.dtype),
+        interpret=interpret,
     )(x)
     return out[:b, :a]

@@ -44,6 +44,7 @@ ALU cost. This kernel re-derives decode as a TPU program:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +55,27 @@ _U32 = jnp.uint32
 _LANES = 128
 _GROUP = 16  # words per inner unrolled group
 _DEAD = -(1 << 31)  # dead slot marker of the packed concentration planes
+
+#: compact the packed plane in the kernel's own tiled layout (sublane-shift
+#: butterfly; no staging untile transpose). Escape hatch: set
+#: DELTARICE_TPU_TILED_CONC=0 to route through the untiled lane-roll kernel.
+_TILED = os.environ.get("DELTARICE_TPU_TILED_CONC", "1") == "1"
+
+
+def untile_rows(a: jnp.ndarray, nseg: int, sb: int,
+                interpret: bool = False) -> jnp.ndarray:
+    """(blocks, R*sb, 128) tiled layout -> (nseg, R) segment-major."""
+    import functools as _ft
+
+    from .transpose_pallas import transpose2d
+
+    blocks, rows_sb, lanes = a.shape
+    bseg = sb * lanes
+    rows = rows_sb // sb
+    t = jax.vmap(_ft.partial(transpose2d, interpret=interpret))(
+        a.reshape(blocks, rows, bseg)
+    )
+    return t.reshape(blocks * bseg, rows)[:nseg]
 
 
 def codewords_per_word(k: int) -> int:
@@ -324,7 +346,22 @@ def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
     disp_bound = (n_chunks * wc - 1) * (j - 1) + (_LOOKBACK if not exact
                                                  else 0)
     spec = False
-    if disp_bound < (1 << 15) and n_chunks * wc * j < (1 << 15):
+    r_slots = n_chunks * wc * j
+    if _TILED and disp_bound < (1 << 15) and r_slots <= (1 << 16):
+        # tiled compaction: the butterfly runs in the kernel's own
+        # (slot*sb+s, lane) layout — every pass a sublane shift, no lane
+        # rolls, and the untile transpose moves to the int16 OUTPUT
+        # (samples wide) instead of the int32 staging (slots*j wide)
+        from .concentrate_pallas import concentrate_tiled
+
+        plane, ovf = _kernel_program(
+            words, k, delta, sb, wc, j, interpret, True, n_samples,
+            tiled=True,
+        )
+        out_t = concentrate_tiled((plane,), n_samples, sb, disp_bound,
+                                  "int16", interpret)
+        out = untile_rows(out_t, words.shape[0], sb, interpret)
+    elif disp_bound < (1 << 15) and r_slots < (1 << 15):
         from .concentrate_pallas import concentrate_packed
 
         plane, ovf = _kernel_program(
@@ -351,16 +388,20 @@ def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
     return out, bad
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
 def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
                     wc: int, j_eff: int, interpret: bool = False,
-                    packed: bool = True, n_samples: int = 0):
+                    packed: bool = True, n_samples: int = 0,
+                    tiled: bool = False):
     """Run the decode kernel. With ``packed`` the kernel emits one int32
     packed concentration plane (``disp << 16 | sample``); otherwise an
     int16 sample plane plus the per-word ``ntab`` count table for the XLA
     displacement build in :func:`_compaction`. Returns
     ``(plane_or_(stage, ntab), ovf)`` where ``ovf`` is a per-segment-group
-    overflow indicator (all zeros when ``j_eff`` is the static bound)."""
+    overflow indicator (all zeros when ``j_eff`` is the static bound).
+    ``tiled`` (packed only) skips the untile transpose and returns the
+    plane in the kernel's own (blocks, slot*sb+s, lane) layout for
+    :func:`..concentrate_pallas.concentrate_tiled`."""
     from .transpose_pallas import transpose2d
 
     nseg, w_in = words.shape
@@ -375,7 +416,9 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
     # (S, cols) -> (blocks, cols*sb, 128) with row t*sb + s, lane l for
     # segment (block, s*128 + l)
     w3 = words.reshape(blocks, bseg, cols)
-    wt = jax.vmap(transpose2d)(w3)  # (blocks, cols, bseg)
+    wt = jax.vmap(functools.partial(transpose2d, interpret=interpret))(
+        w3
+    )  # (blocks, cols, bseg)
     wt = wt.reshape(blocks, cols, sb, _LANES).reshape(
         blocks, cols * sb, _LANES
     )
@@ -446,7 +489,9 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
     def untile(a):
         # rows (c, j*wc+t_rel, s) with minor (s, lane) -> per-segment rows
         rows = a.shape[1] // sb
-        t = jax.vmap(transpose2d)(a.reshape(blocks, rows, bseg))
+        t = jax.vmap(functools.partial(transpose2d, interpret=interpret))(
+            a.reshape(blocks, rows, bseg)
+        )
         return t.reshape(blocks * bseg, rows)[:nseg]
 
     if detect:
@@ -456,7 +501,7 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
     else:
         ovf = jnp.zeros((nseg,), jnp.int32)
     if packed:
-        return untile(out[0]), ovf
+        return (out[0] if tiled else untile(out[0])), ovf
     return (untile(out[0]), untile(out[1])), ovf
 
 

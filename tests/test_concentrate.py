@@ -149,6 +149,94 @@ def test_short_stream_long_segment_roundtrip():
     assert np.array_equal(drt.decompress(drt.compress(data, cfg), cfg), data)
 
 
+def _tile(plane: np.ndarray, sb: int = 8, lanes: int = 128) -> np.ndarray:
+    """(S, R) segment-major -> (blocks, R*sb, lanes) kernel-tiled layout
+    (row = slot*sb + s, segment = (block, s*lanes + lane))."""
+    s_count, r = plane.shape
+    bseg = sb * lanes
+    blocks = -(-s_count // bseg)
+    pad_val = plane.ravel()[0] * 0
+    arr = np.full((blocks * bseg, r), pad_val, plane.dtype)
+    arr[:s_count] = plane
+    return np.ascontiguousarray(
+        arr.reshape(blocks, sb, lanes, r).transpose(0, 3, 1, 2)
+        .reshape(blocks, r * sb, lanes)
+    )
+
+
+def _untile(tiled: np.ndarray, s_count: int, sb: int = 8,
+            lanes: int = 128) -> np.ndarray:
+    blocks, rows, _ = tiled.shape
+    r = rows // sb
+    return (
+        tiled.reshape(blocks, r, sb, lanes).transpose(0, 2, 3, 1)
+        .reshape(blocks * sb * lanes, r)[:s_count]
+    )
+
+
+class TestTiledConcentration:
+    """Interpret-mode checks of the tiled (sublane-shift) butterfly —
+    runnable on CPU; the TPU equivalence is covered end-to-end by the
+    golden-file round trips."""
+
+    @pytest.mark.parametrize("r,density", [(200, 0.5), (1500, 0.3),
+                                           (5000, 0.4), (9000, 0.8)])
+    def test_int16_matches_numpy(self, r, density):
+        from deltarice_tpu.ops.concentrate_pallas import (
+            _DEAD, concentrate_tiled)
+
+        vals, disp, n_out, dense = make_case(300, r, density, seed=r)
+        bound = max(int(disp.max()), 0)
+        assert bound < (1 << 15)
+        plane = np.where(
+            disp >= 0, (disp.astype(np.int64) << 16)
+            | (vals.astype(np.int64) & 0xFFFF), _DEAD
+        ).astype(np.int32)
+        out = np.asarray(concentrate_tiled(
+            (jnp.asarray(_tile(plane)),), n_out, 8, bound, "int16",
+            interpret=True,
+        ))
+        got = _untile(out, 300)
+        assert np.array_equal(got, dense)
+
+    def test_u32_follower_matches_numpy(self):
+        from deltarice_tpu.ops.concentrate_pallas import (
+            _DEAD, concentrate_tiled)
+
+        vals, disp, n_out, dense = make_case(160, 6000, 0.35, seed=5,
+                                             dtype=np.uint32)
+        bound = int(disp.max())
+        lead = np.where(
+            disp >= 0, (disp.astype(np.int64) << 16)
+            | ((vals >> 16).astype(np.int64) & 0xFFFF), _DEAD
+        ).astype(np.int32)
+        fol = (vals & 0xFFFF).astype(np.int16)
+        out = np.asarray(concentrate_tiled(
+            (jnp.asarray(_tile(lead)), jnp.asarray(_tile(fol))),
+            n_out, 8, bound, "u32", interpret=True,
+        ))
+        assert np.array_equal(_untile(out, 160), dense)
+
+    def test_n_out_wider_than_slots_pads_zero(self):
+        from deltarice_tpu.ops.concentrate_pallas import (
+            _DEAD, concentrate_tiled)
+
+        vals, disp, n_out, dense = make_case(100, 300, 0.2, seed=2)
+        plane = np.where(
+            disp >= 0, (disp.astype(np.int64) << 16)
+            | (vals.astype(np.int64) & 0xFFFF), _DEAD
+        ).astype(np.int32)
+        want = 800
+        out = np.asarray(concentrate_tiled(
+            (jnp.asarray(_tile(plane)),), want, 8,
+            max(int(disp.max()), 0), "int16", interpret=True,
+        ))
+        got = _untile(out, 100)
+        assert got.shape == (100, want)
+        assert np.array_equal(got[:, :n_out], dense)
+        assert not got[:, n_out:].any()
+
+
 @tpu_only
 def test_wide_kernel_huge_displacement():
     """A lone valid element at the far right routes across every block."""
