@@ -207,7 +207,16 @@ def _tconc_finalize(lead, follow, emit: str):
     return (hi | lo).astype(jnp.uint32)
 
 
-def _tconc_low_kernel(*refs, sb: int, follower: bool, emit: str):
+def _tconc_bias_finalize(p, emit: str):
+    """Home-select for the sign-biased plane (see :func:`_w16_pass`)."""
+    half = _w16_home(p)
+    if emit == "int16":
+        return ((half << 16) >> 16).astype(jnp.int16)
+    return half.astype(jnp.uint32)
+
+
+def _tconc_low_kernel(*refs, sb: int, follower: bool, emit: str,
+                      bias: bool = False):
     """Low-stride passes (1.._TBLK/2 slots) over a 2-block row window.
 
     Window = rows [j*_TBLK*sb, (j+2)*_TBLK*sb); emits block j. After
@@ -227,9 +236,12 @@ def _tconc_low_kernel(*refs, sb: int, follower: bool, emit: str):
     rows = lead.shape[0]
     for b in range(_TBLK.bit_length() - 1):
         rshift = (1 << b) * sb
-        smask = jnp.int32(1 << (16 + b))
         dead = jnp.full((rshift, lead.shape[1]), _DEAD, jnp.int32)
         sh = jnp.concatenate([lead[rshift:], dead], axis=0)
+        if bias:
+            lead = _w16_pass(lead, sh, b)
+            continue
+        smask = jnp.int32(1 << (16 + b))
         stay = jnp.where((lead & smask) == 0, lead, _DEAD)
         move = jnp.where((sh & smask) != 0, sh - smask, _DEAD)
         if follower:
@@ -245,6 +257,8 @@ def _tconc_low_kernel(*refs, sb: int, follower: bool, emit: str):
         outs[0][:, :] = lead[:keep]
         if follower:
             outs[1][:, :] = follow[:keep]
+    elif bias:
+        outs[0][:, :] = _tconc_bias_finalize(lead[:keep], emit)
     else:
         outs[0][:, :] = _tconc_finalize(
             lead[:keep], follow[:keep] if follower else None, emit
@@ -252,7 +266,7 @@ def _tconc_low_kernel(*refs, sb: int, follower: bool, emit: str):
 
 
 def _tconc_high_kernel(*refs, passes: int, lb: int, follower: bool,
-                       emit: str, nbk_out: int):
+                       emit: str, nbk_out: int, bias: bool = False):
     """Block-stride passes + final select over a (nbk, rstripe) stripe.
 
     After the low sweep every remaining displacement is a multiple of
@@ -265,9 +279,12 @@ def _tconc_high_kernel(*refs, passes: int, lb: int, follower: bool,
     follow = ins[1][:, :, :] if follower else None
     for h in range(passes):
         s = 1 << h
-        smask = jnp.int32(1 << (16 + lb + h))
         dead = jnp.full((s,) + lead.shape[1:], _DEAD, jnp.int32)
         sh = jnp.concatenate([lead[s:], dead], axis=0)
+        if bias:
+            lead = _w16_pass(lead, sh, lb + h)
+            continue
+        smask = jnp.int32(1 << (16 + lb + h))
         stay = jnp.where((lead & smask) == 0, lead, _DEAD)
         move = jnp.where((sh & smask) != 0, sh - smask, _DEAD)
         if follower:
@@ -278,21 +295,28 @@ def _tconc_high_kernel(*refs, passes: int, lb: int, follower: bool,
             )
             follow = jnp.where(moved, fsh, follow)
         lead = jnp.maximum(stay, move)
-    outs[0][:, :, :] = _tconc_finalize(
-        lead[:nbk_out], follow[:nbk_out] if follower else None, emit
-    )
+    if bias:
+        outs[0][:, :, :] = _tconc_bias_finalize(lead[:nbk_out], emit)
+    else:
+        outs[0][:, :, :] = _tconc_finalize(
+            lead[:nbk_out], follow[:nbk_out] if follower else None, emit
+        )
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def concentrate_tiled(planes, n_out: int, sb: int, disp_bound: int,
-                      emit: str = "int16", interpret: bool = False):
+                      emit: str = "int16", interpret: bool = False,
+                      bias: bool = False):
     """Concentrate packed planes in the codec kernels' TILED layout.
 
     planes: 1 or 2 arrays of shape (blocks, R*sb, lanes); row slot*sb+s
       of block b holds slot ``slot`` of segment (b, s*lanes + lane).
       planes[0] is the int32 packed leader ``disp << 16 | halfword``
       (dead = INT32_MIN, disp < 2**15); planes[1], if present, an int16
-      follower routed by the leader's bits.
+      follower routed by the leader's bits. With ``bias`` the single
+      plane is instead the sign-biased ``(disp << 16 | half) ^ 2**31``
+      of :func:`_w16_pass` (disp < 2**16; dead = INT32_MIN), extending
+      the displacement range to 16 bits — nEDM-scale decode staging.
     n_out: output slots per segment.
     disp_bound: static displacement bound; prunes block-stride passes.
     emit: 'int16' — sign-extended halfword samples (decode);
@@ -304,6 +328,7 @@ def concentrate_tiled(planes, n_out: int, sb: int, disp_bound: int,
     """
     lead = planes[0]
     follower = len(planes) == 2
+    assert not (bias and follower), "biased planes carry no follower"
     blocks, rows, lanes = lead.shape
     r = rows // sb
     nbk = -(-r // _TBLK)
@@ -343,7 +368,7 @@ def concentrate_tiled(planes, n_out: int, sb: int, disp_bound: int,
         ]
     low = pl.pallas_call(
         functools.partial(_tconc_low_kernel, sb=sb, follower=follower,
-                          emit=low_emit),
+                          emit=low_emit, bias=bias),
         grid=(blocks, low_nbk),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -369,7 +394,7 @@ def concentrate_tiled(planes, n_out: int, sb: int, disp_bound: int,
         out = pl.pallas_call(
             functools.partial(_tconc_high_kernel, passes=hp, lb=lb,
                               follower=follower, emit=emit,
-                              nbk_out=nbk_out),
+                              nbk_out=nbk_out, bias=bias),
             grid=(blocks, brows // rstripe),
             in_specs=[stripe(nbk)] * len(v3),
             out_specs=stripe(nbk_out),

@@ -139,7 +139,8 @@ _LOOKBACK = 2
 
 def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, ovf_ref,
                    carry_ref, scratch_ref, *, wc: int, k: int, delta: bool,
-                   sb: int, packed: bool, n_samples: int, j_eff: int):
+                   sb: int, packed: bool, n_samples: int, j_eff: int,
+                   bias: bool = False):
     """One grid step: decode ``wc`` words of sb*128 segments.
 
     words_ref: (wc*sb, 128) uint32 — row t*sb+s is word t of sublane-group s.
@@ -211,7 +212,7 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, ovf_ref,
             )
             if not packed:
                 ntab_vals.append(n)
-            if detect:
+            if detect and v_look:
                 # stalled past the history window: codewords were skipped
                 # and this lane's stream is desynchronized for good
                 ovf = ovf | (
@@ -245,10 +246,24 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, ovf_ref,
                 if packed:
                     slot = (c * wc + g * _GROUP + tt) * j_eff + j
                     valid = active & (n < n_samples)
-                    scratch_ref[(tt * j_eff + j) * sb : (tt * j_eff + j + 1) * sb, :] = (
-                        jnp.where(valid, ((slot - n) << 16) | (out & 0xFFFF),
-                                  _DEAD)
-                    )
+                    disp = slot - n
+                    if bias:
+                        # sign-biased plane: 16-bit displacement field
+                        # (see concentrate_pallas._w16_pass); rare wider
+                        # displacements clamp to dead + flag the segment
+                        # for exact re-decode (speculation, same remedy
+                        # as service-rate lag)
+                        over = valid & (disp >= (1 << 16))
+                        ovf = ovf | over.astype(jnp.int32)
+                        plane = ((disp << 16) | (out & 0xFFFF)) ^ _DEAD
+                        scratch_ref[(tt * j_eff + j) * sb : (tt * j_eff + j + 1) * sb, :] = (
+                            jnp.where(valid & ~over, plane, _DEAD)
+                        )
+                    else:
+                        scratch_ref[(tt * j_eff + j) * sb : (tt * j_eff + j + 1) * sb, :] = (
+                            jnp.where(valid, (disp << 16) | (out & 0xFFFF),
+                                      _DEAD)
+                        )
                 else:
                     scratch_ref[(tt * j_eff + j) * sb : (tt * j_eff + j + 1) * sb, :] = (
                         jnp.where(active, out, 0)
@@ -347,20 +362,41 @@ def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
                                                  else 0)
     spec = False
     r_slots = n_chunks * wc * j
-    if _TILED and disp_bound < (1 << 15) and r_slots <= (1 << 16):
-        # tiled compaction: the butterfly runs in the kernel's own
-        # (slot*sb+s, lane) layout — every pass a sublane shift, no lane
-        # rolls, and the untile transpose moves to the int16 OUTPUT
-        # (samples wide) instead of the int32 staging (slots*j wide)
+    # tiled-compaction eligibility: the butterfly runs in the kernel's
+    # own (slot*sb+s, lane) layout — every pass a sublane shift, no lane
+    # rolls, and the untile transpose moves to the int16 OUTPUT (samples
+    # wide) instead of the int32 staging (slots*j wide). The slot-axis
+    # cap bounds the block-stride stripe kernel's VMEM window.
+    tiled_ok = _TILED and r_slots <= (1 << 17)
+    if tiled_ok and disp_bound < (1 << 16):
+        # exact: plain plane for 15-bit displacement bounds, sign-biased
+        # plane for 16-bit ones — no clamping possible either way
+        from .concentrate_pallas import concentrate_tiled
+
+        use_bias = disp_bound >= (1 << 15)
+        plane, ovf = _kernel_program(
+            words, k, delta, sb, wc, j, interpret, True, n_samples,
+            tiled=True, bias=use_bias,
+        )
+        out_t = concentrate_tiled((plane,), n_samples, sb, disp_bound,
+                                  "int16", interpret, use_bias)
+        out = untile_rows(out_t, words.shape[0], sb, interpret)
+    elif tiled_ok and speculate:
+        # static bound over 16 bits, typical displacements far under it
+        # (~slots - samples): the kernel clamps the rare overflow to
+        # dead + flags the segment, the biased tiled butterfly runs,
+        # flagged segments re-decode exactly (ntab + wide planes)
         from .concentrate_pallas import concentrate_tiled
 
         plane, ovf = _kernel_program(
             words, k, delta, sb, wc, j, interpret, True, n_samples,
-            tiled=True,
+            tiled=True, bias=True,
         )
-        out_t = concentrate_tiled((plane,), n_samples, sb, disp_bound,
-                                  "int16", interpret)
+        out_t = concentrate_tiled((plane,), n_samples, sb, (1 << 16) - 1,
+                                  "int16", interpret, True)
         out = untile_rows(out_t, words.shape[0], sb, interpret)
+        spec = True
+        bad = ovf != 0
     elif disp_bound < (1 << 15) and r_slots < (1 << 15):
         from .concentrate_pallas import concentrate_packed
 
@@ -388,11 +424,11 @@ def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
     return out, bad
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
 def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
                     wc: int, j_eff: int, interpret: bool = False,
                     packed: bool = True, n_samples: int = 0,
-                    tiled: bool = False):
+                    tiled: bool = False, bias: bool = False):
     """Run the decode kernel. With ``packed`` the kernel emits one int32
     packed concentration plane (``disp << 16 | sample``); otherwise an
     int16 sample plane plus the per-word ``ntab`` count table for the XLA
@@ -401,11 +437,15 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
     overflow indicator (all zeros when ``j_eff`` is the static bound).
     ``tiled`` (packed only) skips the untile transpose and returns the
     plane in the kernel's own (blocks, slot*sb+s, lane) layout for
-    :func:`..concentrate_pallas.concentrate_tiled`."""
+    :func:`..concentrate_pallas.concentrate_tiled`. ``bias`` (packed
+    only) emits the sign-biased plane with a 16-bit displacement field,
+    clamping wider displacements to dead and flagging their segments in
+    ``ovf`` for exact re-decode."""
     from .transpose_pallas import transpose2d
 
     nseg, w_in = words.shape
-    detect = j_eff < codewords_per_word(k)
+    service = j_eff < codewords_per_word(k)
+    detect = service or bias
     bseg = sb * _LANES
     blocks = -(-nseg // bseg)
     n_chunks = -(-w_in // wc)
@@ -425,7 +465,7 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
 
     kern = functools.partial(
         _unpack_kernel, wc=wc, k=k, delta=delta, sb=sb, packed=packed,
-        n_samples=n_samples, j_eff=j_eff,
+        n_samples=n_samples, j_eff=j_eff, bias=bias,
     )
 
     def body(words_ref, next_ref, *rest):
@@ -478,7 +518,7 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM(
-                ((4 + (_LOOKBACK if detect else 0)) * sb, _LANES),
+                ((4 + (_LOOKBACK if service else 0)) * sb, _LANES),
                 jnp.int32,
             ),
             pltpu.VMEM((j_eff * gsz, _LANES), jnp.int32),

@@ -217,6 +217,27 @@ class TestTiledConcentration:
         ))
         assert np.array_equal(_untile(out, 160), dense)
 
+    @pytest.mark.parametrize("r,density", [(3000, 0.3), (60000, 0.3),
+                                           (9000, 0.9)])
+    def test_bias_int16_matches_numpy(self, r, density):
+        """Sign-biased plane: displacements up to 2**16 - 1."""
+        from deltarice_tpu.ops.concentrate_pallas import (
+            _DEAD, concentrate_tiled)
+
+        vals, disp, n_out, dense = make_case(40, r, density, seed=r + 1)
+        bound = max(int(disp.max()), 0)
+        assert bound < (1 << 16)
+        plane = np.where(
+            disp >= 0, ((disp.astype(np.int64) << 16)
+                        | (vals.astype(np.int64) & 0xFFFF))
+            ^ (1 << 31), _DEAD
+        ).astype(np.int64).astype(np.int32)
+        out = np.asarray(concentrate_tiled(
+            (jnp.asarray(_tile(plane)),), n_out, 8, bound, "int16",
+            True, True,
+        ))
+        assert np.array_equal(_untile(out, 40), dense)
+
     def test_n_out_wider_than_slots_pads_zero(self):
         from deltarice_tpu.ops.concentrate_pallas import (
             _DEAD, concentrate_tiled)

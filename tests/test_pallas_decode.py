@@ -175,6 +175,58 @@ def test_service_kernel_underprovisioned_flags_and_recovers():
     np.testing.assert_array_equal(got, x)
 
 
+def _encode_bucketed(x, k, bucket=256):
+    """Encode and trim the word axis to the production word bucket, so
+    the decode routing sees the same static shapes ``decompress`` would."""
+    d = prefilter_encode(jnp.asarray(x))
+    u = zigzag(d)
+    lens, vals = codeword_lengths_values(u, k)
+    max_words = (x.shape[-1] * 25 + 31) // 32
+    words, nwords = pack_bits(lens, vals, max_words, "segsum")
+    w = int(np.asarray(nwords).max()) + 1
+    return jnp.asarray(np.asarray(words)[:, : -(-w // bucket) * bucket])
+
+
+@tpu_only
+def test_bias_plane_exact_midrange_disp():
+    """Displacement bound in [2**15, 2**16): the decode rides the
+    sign-biased tiled plane EXACTLY (no clamping possible, no flags)."""
+    rng = np.random.default_rng(11)
+    x = np.round(np.cumsum(rng.normal(0, 10, (9, 30000)), axis=-1)).astype(
+        np.int16
+    )
+    words = _encode_bucketed(x, 3)
+    from deltarice_tpu.ops.unpack_pallas import codewords_per_word
+    bound = (words.shape[1] - 1) * (codewords_per_word(3) - 1)
+    assert (1 << 15) <= bound < (1 << 16), f"case drifted: {bound}"
+    out = unpack_decode_pallas(words, 30000, 3, True)
+    np.testing.assert_array_equal(np.asarray(out), x)
+
+
+@pytest.mark.slow
+@tpu_only
+def test_bias_plane_speculative_clamp_roundtrip():
+    """Static displacement bound over 16 bits with typical displacements
+    far under it: the kernel clamps (rarely) + flags, the biased tiled
+    butterfly runs, flagged segments re-decode exactly."""
+    rng = np.random.default_rng(12)
+    x = np.round(np.cumsum(rng.normal(0, 10, (6, 50000)), axis=-1)).astype(
+        np.int16
+    )
+    words = _encode_bucketed(x, 3)
+    bound = (words.shape[1] - 1) * 7
+    assert bound >= (1 << 16), f"case drifted: {bound}"
+    res = unpack_decode_pallas(words, 50000, 3, True, False, None, True)
+    assert isinstance(res, tuple), "speculative path must return flags"
+    out, bad = res
+    from deltarice_tpu.codec import _redecode_bad_rows
+
+    got = _redecode_bad_rows(np.asarray(out), np.asarray(bad),
+                             np.asarray(words), 50000,
+                             RiceConfig(8, 50000))
+    np.testing.assert_array_equal(got, x)
+
+
 @pytest.mark.slow
 @tpu_only
 def test_long_waveforms_noptrex_geometry():
