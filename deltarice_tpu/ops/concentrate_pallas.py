@@ -322,9 +322,12 @@ def concentrate_tiled(planes, n_out: int, sb: int, disp_bound: int,
     emit: 'int16' — sign-extended halfword samples (decode);
           'u32'  — ``leader_half << 16 | follower_half`` words (encode).
 
-    Returns (blocks, n_out*sb, lanes) in the same tiled layout; slots
-    past a segment's staged range are zero. Callers untile AFTER — the
-    transpose then runs at output width/dtype instead of staging width.
+    Returns (blocks, n_out_blocks*sb, lanes) in the same tiled layout
+    with ``n_out_blocks = ceil(min(n_out, slots)/_TBLK)*_TBLK >= the
+    covered slots`` — callers untile AFTER (the transpose then runs at
+    output width/dtype instead of staging width) and slice/pad columns
+    to ``n_out`` segment-major, where it's free (the transpose slices
+    and XLA pads fuse). Slots past a segment's staged range are zero.
     """
     lead = planes[0]
     follower = len(planes) == 2
@@ -405,11 +408,6 @@ def concentrate_tiled(planes, n_out: int, sb: int, disp_bound: int,
         )(*v3).reshape(blocks, nbk_out * brows, lanes)
     else:
         out = low[0]
-    want = n_out * sb
-    if out.shape[1] > want:
-        out = out[:, :want, :]
-    elif out.shape[1] < want:
-        out = jnp.pad(out, ((0, 0), (0, want - out.shape[1]), (0, 0)))
     return out
 
 

@@ -239,7 +239,9 @@ def pack_encode_pallas_bits(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
             "u32",
         )
         words = untile_rows(out_t, x.shape[0], _SB)
-        if words.shape[1] < max_words:
+        if words.shape[1] > max_words:
+            words = words[:, :max_words]
+        elif words.shape[1] < max_words:
             words = jnp.pad(words, ((0, 0), (0, max_words - words.shape[1])))
         return words, nwords, nbits
     wstage, kstage, nwords, nbits = _encode_kernel_program(

@@ -78,6 +78,15 @@ def untile_rows(a: jnp.ndarray, nseg: int, sb: int,
     return t.reshape(blocks * bseg, rows)[:nseg]
 
 
+def _fit_cols(a: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Slice or zero-pad the minor axis to exactly ``n`` columns."""
+    if a.shape[1] > n:
+        return a[:, :n]
+    if a.shape[1] < n:
+        return jnp.pad(a, ((0, 0), (0, n - a.shape[1])))
+    return a
+
+
 def codewords_per_word(k: int) -> int:
     """Max codeword starts in one 32-bit word: min codeword is k+1 bits."""
     return min(-(-32 // (k + 1)), 32)
@@ -380,7 +389,8 @@ def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
         )
         out_t = concentrate_tiled((plane,), n_samples, sb, disp_bound,
                                   "int16", interpret, use_bias)
-        out = untile_rows(out_t, words.shape[0], sb, interpret)
+        out = _fit_cols(untile_rows(out_t, words.shape[0], sb, interpret),
+                        n_samples)
     elif tiled_ok and speculate:
         # static bound over 16 bits, typical displacements far under it
         # (~slots - samples): the kernel clamps the rare overflow to
@@ -394,7 +404,8 @@ def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
         )
         out_t = concentrate_tiled((plane,), n_samples, sb, (1 << 16) - 1,
                                   "int16", interpret, True)
-        out = untile_rows(out_t, words.shape[0], sb, interpret)
+        out = _fit_cols(untile_rows(out_t, words.shape[0], sb, interpret),
+                        n_samples)
         spec = True
         bad = ovf != 0
     elif disp_bound < (1 << 15) and r_slots < (1 << 15):

@@ -165,13 +165,20 @@ def _tile(plane: np.ndarray, sb: int = 8, lanes: int = 128) -> np.ndarray:
 
 
 def _untile(tiled: np.ndarray, s_count: int, sb: int = 8,
-            lanes: int = 128) -> np.ndarray:
+            lanes: int = 128, n_out: int | None = None) -> np.ndarray:
     blocks, rows, _ = tiled.shape
     r = rows // sb
-    return (
+    out = (
         tiled.reshape(blocks, r, sb, lanes).transpose(0, 2, 3, 1)
         .reshape(blocks * sb * lanes, r)[:s_count]
     )
+    if n_out is not None:  # concentrate_tiled returns whole blocks;
+        # callers slice/pad the segment-major columns (mirrors _fit_cols)
+        if out.shape[1] >= n_out:
+            out = out[:, :n_out]
+        else:
+            out = np.pad(out, ((0, 0), (0, n_out - out.shape[1])))
+    return out
 
 
 class TestTiledConcentration:
@@ -196,7 +203,7 @@ class TestTiledConcentration:
             (jnp.asarray(_tile(plane)),), n_out, 8, bound, "int16",
             interpret=True,
         ))
-        got = _untile(out, 300)
+        got = _untile(out, 300, n_out=n_out)
         assert np.array_equal(got, dense)
 
     def test_u32_follower_matches_numpy(self):
@@ -215,7 +222,7 @@ class TestTiledConcentration:
             (jnp.asarray(_tile(lead)), jnp.asarray(_tile(fol))),
             n_out, 8, bound, "u32", interpret=True,
         ))
-        assert np.array_equal(_untile(out, 160), dense)
+        assert np.array_equal(_untile(out, 160, n_out=n_out), dense)
 
     @pytest.mark.parametrize("r,density", [(3000, 0.3), (60000, 0.3),
                                            (9000, 0.9)])
@@ -236,7 +243,7 @@ class TestTiledConcentration:
             (jnp.asarray(_tile(plane)),), n_out, 8, bound, "int16",
             True, True,
         ))
-        assert np.array_equal(_untile(out, 40), dense)
+        assert np.array_equal(_untile(out, 40, n_out=n_out), dense)
 
     def test_n_out_wider_than_slots_pads_zero(self):
         from deltarice_tpu.ops.concentrate_pallas import (
@@ -252,7 +259,7 @@ class TestTiledConcentration:
             (jnp.asarray(_tile(plane)),), want, 8,
             max(int(disp.max()), 0), "int16", interpret=True,
         ))
-        got = _untile(out, 100)
+        got = _untile(out, 100, n_out=want)
         assert got.shape == (100, want)
         assert np.array_equal(got[:, :n_out], dense)
         assert not got[:, n_out:].any()
