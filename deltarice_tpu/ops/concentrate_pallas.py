@@ -223,16 +223,32 @@ def _tconc_low_kernel(*refs, sb: int, follower: bool, emit: str,
     pass b an element of the output block originated < 2^(b+1) <= _TBLK
     slots to the right, so the one-block halo covers every low pass;
     the window's right half degrades pass by pass and is discarded.
+    The grid walks blocks RIGHT-TO-LEFT and carries each step's RAW
+    block in VMEM scratch, so the halo is the previous step's input —
+    every element is read from HBM exactly once instead of twice.
     With ``emit`` != 'planes' this is the final kernel: arrived
     elements are selected and formatted in-register.
     """
-    n_in = 4 if follower else 2
-    ins, outs = refs[:n_in], refs[n_in:]
-    lead = jnp.concatenate([ins[0][:, :], ins[1][:, :]], axis=0)
-    follow = (
-        jnp.concatenate([ins[2][:, :], ins[3][:, :]], axis=0)
-        if follower else None
-    )
+    n_in = 2 if follower else 1
+    n_out = 2 if (follower and emit == "planes") else 1
+    ins = refs[:n_in]
+    outs = refs[n_in : n_in + n_out]
+    scr = refs[n_in + n_out :]
+    jj = pl.program_id(1)
+
+    @pl.when(jj == 0)
+    def _():
+        scr[0][:, :] = jnp.full_like(scr[0], _DEAD)
+        if follower:
+            scr[1][:, :] = jnp.zeros_like(scr[1])
+
+    raw_lead = ins[0][:, :]
+    lead = jnp.concatenate([raw_lead, scr[0][:, :]], axis=0)
+    if follower:
+        raw_fol = ins[1][:, :]
+        follow = jnp.concatenate([raw_fol, scr[1][:, :]], axis=0)
+    else:
+        follow = None
     rows = lead.shape[0]
     for b in range(_TBLK.bit_length() - 1):
         rshift = (1 << b) * sb
@@ -263,6 +279,9 @@ def _tconc_low_kernel(*refs, sb: int, follower: bool, emit: str,
         outs[0][:, :] = _tconc_finalize(
             lead[:keep], follow[:keep] if follower else None, emit
         )
+    scr[0][:, :] = raw_lead
+    if follower:
+        scr[1][:, :] = raw_fol
 
 
 def _tconc_high_kernel(*refs, passes: int, lb: int, follower: bool,
@@ -342,22 +361,31 @@ def concentrate_tiled(planes, n_out: int, sb: int, disp_bound: int,
     n_out_slots = min(n_out, nbk * _TBLK)
     nbk_out = -(-n_out_slots // _TBLK)
     brows = _TBLK * sb
-    # pad the slot axis to whole blocks + one all-dead halo block
-    pad = ((0, 0), (0, (nbk + 1) * brows - rows), (0, 0))
+    # pad the slot axis to whole blocks (the right halo of the last block
+    # is the kernel's scratch init, not a stored block)
+    pad = ((0, 0), (0, nbk * brows - rows), (0, 0))
     lead = jnp.pad(lead, pad, constant_values=_DEAD)
-    ins = [lead, lead]
+    ins = [lead]
     if follower:
-        fol = jnp.pad(planes[1], pad)
-        ins += [fol, fol]
+        ins.append(jnp.pad(planes[1], pad))
     low_emit = "planes" if hp else emit
     low_nbk = nbk if hp else nbk_out
-    blk = lambda off: pl.BlockSpec(  # noqa: E731
-        (None, brows, lanes), lambda b, j, o=off: (b, j + o, 0),
+    # the grid walks blocks right-to-left (the kernel carries each raw
+    # block as the next step's halo); emitted blocks clamp to the output
+    # range — steps right of it write (and overwrite) its last block,
+    # whose final (leftmost) visit is the correct one
+    blk_in = pl.BlockSpec(
+        (None, brows, lanes), lambda b, j: (b, nbk - 1 - j, 0),
         memory_space=pltpu.VMEM,
     )
-    in_specs = [blk(0), blk(1)] + ([blk(0), blk(1)] if follower else [])
+    blk_out = pl.BlockSpec(
+        (None, brows, lanes),
+        lambda b, j: (b, jnp.minimum(nbk - 1 - j, low_nbk - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [blk_in] * len(ins)
     if low_emit == "planes":
-        out_specs = [blk(0)] + ([blk(0)] if follower else [])
+        out_specs = [blk_out] * len(ins)
         out_shapes = [
             jax.ShapeDtypeStruct((blocks, low_nbk * brows, lanes),
                                  jnp.int32)
@@ -365,17 +393,21 @@ def concentrate_tiled(planes, n_out: int, sb: int, disp_bound: int,
                                    jnp.int16)] if follower else [])
     else:
         odt = jnp.int16 if emit == "int16" else jnp.uint32
-        out_specs = [blk(0)]
+        out_specs = [blk_out]
         out_shapes = [
             jax.ShapeDtypeStruct((blocks, low_nbk * brows, lanes), odt)
         ]
+    scratch = [pltpu.VMEM((brows, lanes), jnp.int32)]
+    if follower:
+        scratch.append(pltpu.VMEM((brows, lanes), jnp.int16))
     low = pl.pallas_call(
         functools.partial(_tconc_low_kernel, sb=sb, follower=follower,
                           emit=low_emit, bias=bias),
-        grid=(blocks, low_nbk),
+        grid=(blocks, nbk),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*ins)
     if not isinstance(low, (list, tuple)):
