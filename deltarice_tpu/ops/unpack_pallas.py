@@ -93,13 +93,20 @@ def codewords_per_word(k: int) -> int:
 
 
 def _sublane_factor(nseg: int) -> int:
-    """Segments-per-lane-row batching. Always 8 (a full (8, 128) vreg):
-    block time is bound by the serial decode chain's op latency, which is
-    independent of the sublane width, so padding small batches up to 1024
-    segments costs (almost) nothing while keeping every VMEM slice
-    8-row-aligned."""
-    del nseg
-    return 8
+    """Segments-per-lane-row batching, a power of two <= 8.
+
+    Block time is bound by the serial decode chain's op latency, which
+    is independent of the sublane width — an (s, 128) op costs one vreg
+    op for any s <= 8 — so the factor only sizes ARRAYS: staging rows
+    are slot*sb + s, and padding a small batch up to sb = 8 multiplies
+    every HBM byte the pipeline touches by 8*128/nseg. Small batches of
+    long segments (NOPTREX: 256 x 500000) therefore take the smallest
+    factor that covers them; batches beyond one 1024-lane block keep
+    the full (8, 128) vreg."""
+    if nseg >= 8 * _LANES:
+        return 8
+    sb = -(-nseg // _LANES)
+    return 1 << max(sb - 1, 0).bit_length()
 
 
 def _chunk_words(j: int, sb: int) -> int:
@@ -195,7 +202,7 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, ovf_ref,
         carry_ref[(4 + i) * sb : (5 + i) * sb, :].astype(_U32)
         for i in range(v_look)
     ]  # hist[i] = word t-1-i relative to the word being processed
-    assert sb == 8, "kernel layout assumes 8-sublane interleaving"
+    assert sb in (1, 2, 4, 8), "sublane interleave must divide a vreg"
 
     n_groups = wc // _GROUP
     gsz = _GROUP * sb
@@ -306,7 +313,12 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, ovf_ref,
             # n < n_samples at the end of the (padded) word axis means a
             # lagging lane ran out of grid columns before catching up —
             # same remedy as deep lag: exact re-decode of the segment
-            ovf_ref[:, :] = ovf | (n < n_samples).astype(jnp.int32)
+            flags = ovf | (n < n_samples).astype(jnp.int32)
+            if sb < 8:  # flag block stays a full (8, 128) vreg tile
+                flags = jnp.concatenate(
+                    [flags, jnp.zeros((8 - sb, _LANES), jnp.int32)], axis=0
+                )
+            ovf_ref[:, :] = flags
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
@@ -508,12 +520,13 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
                                  jnp.int32)
         )
     if detect:
+        # flag block padded to a full (8, 128) tile for any sb
         out_specs.append(
-            pl.BlockSpec((None, sb, _LANES), lambda b, c: (b, 0, 0),
+            pl.BlockSpec((None, 8, _LANES), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         out_shapes.append(
-            jax.ShapeDtypeStruct((blocks, sb, _LANES), jnp.int32)
+            jax.ShapeDtypeStruct((blocks, 8, _LANES), jnp.int32)
         )
     out = pl.pallas_call(
         body,
@@ -547,8 +560,9 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
 
     if detect:
         # (blocks, s, lane) -> per-segment flags, matching segment order
-        # (block, s*128 + lane)
-        ovf = out[-1].reshape(blocks * bseg)[:nseg]
+        # (block, s*128 + lane); the flag block is a full 8-row tile,
+        # rows past sb are padding
+        ovf = out[-1][:, :sb, :].reshape(blocks * bseg)[:nseg]
     else:
         ovf = jnp.zeros((nseg,), jnp.int32)
     if packed:
