@@ -450,7 +450,7 @@ _WBLK = 1 << 12  # wide-kernel column block. Trades expensive lane-axis
 # VMEM: ~5 live (8, 2*B) i32 temporaries per halo pass.
 
 
-def _wide_kernel(v1_ref, d1_ref, v2_ref, d2_ref, ov_ref, od_ref, *,
+def _wide_kernel(v1_ref, d1_ref, ov_ref, od_ref, scrv_ref, scrd_ref, *,
                  final: bool):
     """All butterfly passes with stride < _WBLK over a 2-block halo window.
 
@@ -458,13 +458,24 @@ def _wide_kernel(v1_ref, d1_ref, v2_ref, d2_ref, ov_ref, od_ref, *,
     element of the output block can have originated at most ``sum(2^0..2^b)
     = 2^(b+1)-1 < B`` columns to the right, so the halo covers every
     low-stride pass; the window's right half degrades pass by pass and is
-    discarded. With ``final`` (single-block rows: every displacement
+    discarded. The grid walks column blocks right-to-left with the raw
+    block carried in VMEM scratch as the next step's halo (one HBM read
+    per element). With ``final`` (single-block rows: every displacement
     < _WBLK) the surviving elements are selected in-kernel and ``od_ref``
     receives zeros.
     """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        scrv_ref[:, :] = jnp.zeros_like(scrv_ref)
+        scrd_ref[:, :] = jnp.full_like(scrd_ref, -1)
+
     w = 2 * _WBLK
-    v = jnp.concatenate([v1_ref[:, :], v2_ref[:, :]], axis=1)
-    d = jnp.concatenate([d1_ref[:, :], d2_ref[:, :]], axis=1)
+    raw_v = v1_ref[:, :]
+    raw_d = d1_ref[:, :]
+    v = jnp.concatenate([raw_v, scrv_ref[:, :]], axis=1)
+    d = jnp.concatenate([raw_d, scrd_ref[:, :]], axis=1)
     cols = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
     for b in range(_WBLK.bit_length() - 1):
         s = 1 << b
@@ -480,6 +491,8 @@ def _wide_kernel(v1_ref, d1_ref, v2_ref, d2_ref, ov_ref, od_ref, *,
     else:
         ov_ref[:, :] = v[:, :_WBLK]
         od_ref[:, :] = d[:, :_WBLK]
+    scrv_ref[:, :] = raw_v
+    scrd_ref[:, :] = raw_d
 
 
 def _w16_pass(p, sh, disp_bit: int):
@@ -512,15 +525,24 @@ def _w16_home(p):
     return jnp.where((p & jnp.int32(-65536)) == _DEAD, p & 0xFFFF, 0)
 
 
-def _wide16_low_kernel(p1_ref, p2_ref, op_ref, *, final: bool):
+def _wide16_low_kernel(p1_ref, op_ref, scr_ref, *, final: bool):
     """Low-stride passes on one sign-biased packed plane (2-block halo).
 
     Halves both HBM traffic and per-pass ops vs the two-plane
     :func:`_wide_kernel`; requires payloads <= 16 bits and displacements
-    <= 2**16 - 1 (see :func:`_w16_pass` for the bias scheme).
+    <= 2**16 - 1 (see :func:`_w16_pass` for the bias scheme). The grid
+    walks column blocks right-to-left, carrying each step's raw block in
+    VMEM scratch as the next step's halo — one HBM read per element.
     """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        scr_ref[:, :] = jnp.full_like(scr_ref, _DEAD)
+
     w = 2 * _WBLK
-    p = jnp.concatenate([p1_ref[:, :], p2_ref[:, :]], axis=1)
+    raw = p1_ref[:, :]
+    p = jnp.concatenate([raw, scr_ref[:, :]], axis=1)
     cols = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
     for b in range(_WBLK.bit_length() - 1):
         s = 1 << b
@@ -530,6 +552,7 @@ def _wide16_low_kernel(p1_ref, p2_ref, op_ref, *, final: bool):
     if final:
         p = _w16_home(p)
     op_ref[:, :] = p[:, :_WBLK]
+    scr_ref[:, :] = raw
 
 
 def _wide16_high_kernel(p_ref, op_ref, *, passes: int):
@@ -543,9 +566,9 @@ def _wide16_high_kernel(p_ref, op_ref, *, passes: int):
     op_ref[:, :, :] = _w16_home(p)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def _concentrate_wide16(values: jnp.ndarray, disp: jnp.ndarray, n_out: int,
-                        disp_bound: int):
+                        disp_bound: int, interpret: bool = False):
     """Single-plane wide concentration (payload <= 16 bits, disp < 2**16).
 
     Covers the mid-wide regime between the packed kernel (R < 2**15) and
@@ -559,7 +582,7 @@ def _concentrate_wide16(values: jnp.ndarray, disp: jnp.ndarray, n_out: int,
     p = jnp.where(d >= 0, ((d << 16) | val) ^ _DEAD, _DEAD)
     nb = -(-r // _WBLK)
     rowp = -(-rows // 8) * 8
-    p = jnp.pad(p, ((0, rowp - rows), (0, (nb + 1) * _WBLK - r)),
+    p = jnp.pad(p, ((0, rowp - rows), (0, nb * _WBLK - r)),
                 constant_values=_DEAD)
     # block-stride passes needed: elements move at most disp_bound slots
     passes = 0
@@ -568,23 +591,24 @@ def _concentrate_wide16(values: jnp.ndarray, disp: jnp.ndarray, n_out: int,
     bs = 8
     op = pl.pallas_call(
         functools.partial(_wide16_low_kernel, final=passes == 0),
+        interpret=interpret,
         grid=(rowp // bs, nb),
         in_specs=[
-            pl.BlockSpec((bs, _WBLK), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, _WBLK), lambda i, j: (i, j + 1),
+            pl.BlockSpec((bs, _WBLK), lambda i, j: (i, nb - 1 - j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bs, _WBLK), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((bs, _WBLK), lambda i, j: (i, nb - 1 - j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rowp, nb * _WBLK), jnp.int32),
-    )(p, p)
+        scratch_shapes=[pltpu.VMEM((bs, _WBLK), jnp.int32)],
+    )(p)
     if passes:
         bc = 2048
         while bc > 128 and nb * bc > (1 << 16):
             bc //= 2
         op = pl.pallas_call(
             functools.partial(_wide16_high_kernel, passes=passes),
+            interpret=interpret,
             grid=(rowp // bs, _WBLK // bc),
             in_specs=[
                 pl.BlockSpec((bs, nb, bc), lambda i, j: (i, 0, j),
@@ -630,8 +654,9 @@ def _high_kernel(v_ref, d_ref, ov_ref, *, nb: int):
     ov_ref[:, :, :] = jnp.where(d == 0, v, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _concentrate_wide(values: jnp.ndarray, disp: jnp.ndarray, n_out: int):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _concentrate_wide(values: jnp.ndarray, disp: jnp.ndarray, n_out: int,
+                      interpret: bool = False):
     """Concentration for slot axes too wide for the packed planes.
 
     Keeps (payload, displacement) as two explicit int32 planes, so any
@@ -647,35 +672,24 @@ def _concentrate_wide(values: jnp.ndarray, disp: jnp.ndarray, n_out: int):
     d = disp.astype(jnp.int32)
     nb = -(-r // _WBLK)
     rowp = -(-rows // 8) * 8
-    # one extra all-dead block so window (i, i+1) always exists
-    v = jnp.pad(v, ((0, rowp - rows), (0, (nb + 1) * _WBLK - r)))
-    d = jnp.pad(d, ((0, rowp - rows), (0, (nb + 1) * _WBLK - r)),
+    v = jnp.pad(v, ((0, rowp - rows), (0, nb * _WBLK - r)))
+    d = jnp.pad(d, ((0, rowp - rows), (0, nb * _WBLK - r)),
                 constant_values=-1)
     kern = functools.partial(_wide_kernel, final=nb == 1)
     bs = 8
+    rtl = pl.BlockSpec((bs, _WBLK), lambda i, j: (i, nb - 1 - j),
+                       memory_space=pltpu.VMEM)
     ov, od = pl.pallas_call(
         kern,
+        interpret=interpret,
         grid=(rowp // bs, nb),
-        in_specs=[
-            pl.BlockSpec((bs, _WBLK), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, _WBLK), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, _WBLK), lambda i, j: (i, j + 1),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, _WBLK), lambda i, j: (i, j + 1),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((bs, _WBLK), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bs, _WBLK), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[rtl, rtl],
+        out_specs=[rtl, rtl],
         out_shape=[
             jax.ShapeDtypeStruct((rowp, nb * _WBLK), jnp.int32),
         ] * 2,
-    )(v, d, v, d)
+        scratch_shapes=[pltpu.VMEM((bs, _WBLK), jnp.int32)] * 2,
+    )(v, d)
     if nb > 1:
         # column-offset stripe (bs, nb, bc): ~6 live i32 temporaries per
         # pass must fit VMEM, so the stripe narrows as nb grows
@@ -686,6 +700,7 @@ def _concentrate_wide(values: jnp.ndarray, disp: jnp.ndarray, n_out: int):
         d3 = od.reshape(rowp, nb, _WBLK)
         ov = pl.pallas_call(
             functools.partial(_high_kernel, nb=nb),
+            interpret=interpret,
             grid=(rowp // bs, _WBLK // bc),
             in_specs=[
                 pl.BlockSpec((bs, nb, bc), lambda i, j: (i, 0, j),

@@ -181,6 +181,49 @@ def _untile(tiled: np.ndarray, s_count: int, sb: int = 8,
     return out
 
 
+class TestWideInterpret:
+    """Interpret-mode (CPU) checks of the blocked wide kernels — added
+    with the right-to-left raw-block carry so the halo is read once."""
+
+    @pytest.mark.parametrize("r,density", [(9000, 0.4), (40000, 0.35)])
+    def test_wide16_carry(self, r, density):
+        from deltarice_tpu.ops.concentrate_pallas import _concentrate_wide16
+
+        vals, disp, n_out, dense = make_case(16, r, density, seed=r + 3)
+        bound = int(disp.max())
+        out = np.asarray(_concentrate_wide16(
+            jnp.asarray(vals), jnp.asarray(disp), n_out, bound, True
+        ))
+        assert np.array_equal(out, dense)
+
+    @pytest.mark.parametrize("r,dtype", [(9000, np.int16),
+                                         (40000, np.uint32)])
+    def test_wide_two_plane_carry(self, r, dtype):
+        from deltarice_tpu.ops.concentrate_pallas import _concentrate_wide
+
+        vals, disp, n_out, dense = make_case(16, r, 0.35, seed=r + 4,
+                                             dtype=dtype)
+        out = np.asarray(_concentrate_wide(
+            jnp.asarray(vals), jnp.asarray(disp), n_out, True
+        ))
+        assert np.array_equal(out, dense)
+
+    def test_wide_huge_displacement_carry(self):
+        from deltarice_tpu.ops.concentrate_pallas import _concentrate_wide
+
+        r = 50000
+        vals = np.zeros((8, r), dtype=np.int16)
+        disp = np.full((8, r), -1, dtype=np.int32)
+        vals[:, r - 1] = np.arange(8) + 7
+        disp[:, r - 1] = r - 1  # destination 0, crosses every block
+        out = np.asarray(_concentrate_wide(
+            jnp.asarray(vals), jnp.asarray(disp), 4, True
+        ))
+        expect = np.zeros((8, 4), dtype=np.int16)
+        expect[:, 0] = np.arange(8) + 7
+        assert np.array_equal(out, expect)
+
+
 class TestTiledConcentration:
     """Interpret-mode checks of the tiled (sublane-shift) butterfly —
     runnable on CPU; the TPU equivalence is covered end-to-end by the
