@@ -443,6 +443,254 @@ def concentrate_tiled(planes, n_out: int, sb: int, disp_bound: int,
     return out
 
 
+# --- two-plane tiled concentration: explicit (value, displacement) ----
+#
+# NOPTREX-scale decode staging (~10^6 slots per 500k-sample segment)
+# carries displacements up to ~R - n_samples ~ 2^19 — past both packed
+# plane formats — so value and displacement ride as separate tiled
+# planes (int16 payload + int32 disp, dead = -1), and the butterfly runs
+# in up to three VMEM levels, every pass still a sublane shift:
+#   L1  strides 1.._TBLK/2 slots      — halo-carry row windows
+#   L2  strides _TBLK.._TBLK*WB/2     — 2-window halos over the block
+#                                       axis of a (nbk, rstripe) view
+#   L3  strides _TBLK*WB and up       — one stripe holds every
+#                                       super-block (small axis)
+# The untiled wide kernels (_concentrate_wide/_wide16) remain for
+# segment-major callers; this path serves the decode kernel's native
+# tiled staging without untile transposes or lane rolls.
+
+_TVD_WB = 128  # L2 window, in _TBLK-blocks (covers strides < _TBLK*WB)
+
+
+def _tvd_pass(v, d, vs, ds, stride: int):
+    """One butterfly pass on explicit planes: move where the shifted
+    displacement has the stride bit, else stay where ours lacks it."""
+    move = (ds >= 0) & ((ds & stride) != 0)
+    stay = (d >= 0) & ((d & stride) == 0)
+    v = jnp.where(move, vs, v)
+    d = jnp.where(move, ds - stride, jnp.where(stay, d, -1))
+    return v, d
+
+
+def _tvd_shift(v, d, n: int, axis: int):
+    """Shift planes ``n`` elements up along ``axis`` (dead fill)."""
+    pad_shape = list(v.shape)
+    pad_shape[axis] = n
+    idx = [slice(None)] * v.ndim
+    idx[axis] = slice(n, None)
+    vs = jnp.concatenate(
+        [v[tuple(idx)], jnp.zeros(pad_shape, v.dtype)], axis=axis
+    )
+    ds = jnp.concatenate(
+        [d[tuple(idx)], jnp.full(pad_shape, -1, d.dtype)], axis=axis
+    )
+    return vs, ds
+
+
+def _tvd_low_kernel(v_ref, d_ref, *rest, sb: int, final: bool):
+    """L1: strides 1.._TBLK/2 over halo-carry row windows (cf.
+    :func:`_tconc_low_kernel`)."""
+    outs, (scrv, scrd) = rest[:-2], rest[-2:]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        scrv[:, :] = jnp.zeros_like(scrv)
+        scrd[:, :] = jnp.full_like(scrd, -1)
+
+    raw_v = v_ref[:, :]
+    raw_d = d_ref[:, :]
+    v = jnp.concatenate([raw_v, scrv[:, :]], axis=0)
+    d = jnp.concatenate([raw_d, scrd[:, :]], axis=0)
+    for b in range(_TBLK.bit_length() - 1):
+        vs, ds = _tvd_shift(v, d, (1 << b) * sb, 0)
+        v, d = _tvd_pass(v, d, vs, ds, 1 << b)
+    keep = v.shape[0] // 2
+    if final:
+        outs[0][:, :] = jnp.where(d == 0, v, 0)[:keep]
+    else:
+        outs[0][:, :] = v[:keep]
+        outs[1][:, :] = d[:keep]
+    scrv[:, :] = raw_v
+    scrd[:, :] = raw_d
+
+
+def _tvd_mid_kernel(v1, d1, v2, d2, *outs, passes: int, final: bool):
+    """L2: block strides over a 2-window halo of the (wb, rstripe, lane)
+    view; after L1 every displacement is a multiple of _TBLK, so a
+    stride of s blocks tests/clears disp bit s*_TBLK."""
+    v = jnp.concatenate([v1[:, :, :], v2[:, :, :]], axis=0)
+    d = jnp.concatenate([d1[:, :, :], d2[:, :, :]], axis=0)
+    for h in range(passes):
+        vs, ds = _tvd_shift(v, d, 1 << h, 0)
+        v, d = _tvd_pass(v, d, vs, ds, _TBLK << h)
+    keep = v.shape[0] // 2
+    if final:
+        outs[0][:, :, :] = jnp.where(d == 0, v, 0)[:keep]
+    else:
+        outs[0][:, :, :] = v[:keep]
+        outs[1][:, :, :] = d[:keep]
+
+
+def _tvd_high_kernel(v_ref, d_ref, ov_ref, *, passes: int, base: int,
+                     nsb_out: int):
+    """L3: super-block strides; the whole (small) super-block axis sits
+    in one VMEM stripe. Always final."""
+    v = v_ref[:, :, :]
+    d = d_ref[:, :, :]
+    for h in range(passes):
+        vs, ds = _tvd_shift(v, d, 1 << h, 0)
+        v, d = _tvd_pass(v, d, vs, ds, base << h)
+    ov_ref[:, :, :] = jnp.where(d == 0, v, 0)[:nsb_out]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def concentrate_tiled_vd(values: jnp.ndarray, disp: jnp.ndarray,
+                         n_out: int, sb: int, disp_bound: int,
+                         interpret: bool = False):
+    """Exact tiled concentration with explicit displacement plane.
+
+    values/disp: (blocks, R*sb, lanes) tiled planes (row = slot*sb + s);
+      int16 payload, int32 displacement (>= 0 valid, < 2**31).
+    Returns (blocks, covered_rows, lanes) int16 — whole output blocks;
+    callers untile then slice/pad columns to ``n_out``.
+    """
+    blocks, rows, lanes = values.shape
+    r = rows // sb
+    nbk = -(-r // _TBLK)
+    brows = _TBLK * sb
+    lb = _TBLK.bit_length() - 1
+    wb = _TVD_WB
+    need_mid = disp_bound >= _TBLK and nbk > 1
+    nwin = -(-nbk // wb) if need_mid else 1
+    need_high = need_mid and disp_bound >= _TBLK * wb and nwin > 1
+    n_out_slots = min(n_out, nbk * _TBLK)
+    nbk_out = -(-n_out_slots // _TBLK)
+    pad = ((0, 0), (0, nbk * brows - rows), (0, 0))
+    v = jnp.pad(values, pad)
+    d = jnp.pad(disp, pad, constant_values=-1)
+
+    # L1 — right-to-left halo-carry over row blocks
+    low_final = not need_mid
+    low_nbk = nbk_out if low_final else nbk
+    blk_in = pl.BlockSpec((None, brows, lanes),
+                          lambda b, j: (b, nbk - 1 - j, 0),
+                          memory_space=pltpu.VMEM)
+    blk_out = pl.BlockSpec(
+        (None, brows, lanes),
+        lambda b, j: (b, jnp.minimum(nbk - 1 - j, low_nbk - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shapes = [jax.ShapeDtypeStruct((blocks, low_nbk * brows, lanes),
+                                       jnp.int16)]
+    out_specs = [blk_out]
+    if not low_final:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((blocks, low_nbk * brows, lanes),
+                                 jnp.int32)
+        )
+        out_specs.append(blk_out)
+    low = pl.pallas_call(
+        functools.partial(_tvd_low_kernel, sb=sb, final=low_final),
+        grid=(blocks, nbk),
+        in_specs=[blk_in, blk_in],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((brows, lanes), jnp.int16),
+                        pltpu.VMEM((brows, lanes), jnp.int32)],
+        interpret=interpret,
+    )(v, d)
+    if low_final:
+        return low if not isinstance(low, (list, tuple)) else low[0]
+    v, d = low
+
+    # L2 — block-stride passes over 2-window halos of (nbk, rstripe)
+    nbkp = nwin * wb
+    if nbkp != nbk:
+        extra = ((0, 0), (0, (nbkp - nbk) * brows), (0, 0))
+        v = jnp.pad(v, extra)
+        d = jnp.pad(d, extra, constant_values=-1)
+    v4 = v.reshape(blocks, nbkp, brows, lanes)
+    d4 = d.reshape(blocks, nbkp, brows, lanes)
+    # one all-dead halo window on the right
+    v4 = jnp.pad(v4, ((0, 0), (0, wb), (0, 0), (0, 0)))
+    d4 = jnp.pad(d4, ((0, 0), (0, wb), (0, 0), (0, 0)),
+                 constant_values=-1)
+    mid_passes = 0
+    while (_TBLK << mid_passes) <= disp_bound and (1 << mid_passes) < wb:
+        mid_passes += 1
+    rstripe = 512
+    per_row = wb * lanes * 6 * 2
+    while rstripe > 8 and rstripe * per_row > (8 << 20):
+        rstripe //= 2
+    while brows % rstripe:
+        rstripe //= 2
+    mid_final = not need_high
+    mid_nwin = (-(-nbk_out // wb)) if mid_final else nwin
+    win = lambda off: pl.BlockSpec(  # noqa: E731
+        (None, wb, rstripe, lanes),
+        lambda b, w, t, o=off: (b, w + o, t, 0),
+        memory_space=pltpu.VMEM,
+    )
+    win_out = pl.BlockSpec((None, wb, rstripe, lanes),
+                           lambda b, w, t: (b, w, t, 0),
+                           memory_space=pltpu.VMEM)
+    out_shapes = [jax.ShapeDtypeStruct(
+        (blocks, mid_nwin * wb, brows, lanes), jnp.int16)]
+    out_specs = [win_out]
+    if not mid_final:
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (blocks, mid_nwin * wb, brows, lanes), jnp.int32))
+        out_specs.append(win_out)
+    mid = pl.pallas_call(
+        functools.partial(_tvd_mid_kernel, passes=mid_passes,
+                          final=mid_final),
+        grid=(blocks, mid_nwin, brows // rstripe),
+        in_specs=[win(0), win(0), win(1), win(1)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(v4, d4, v4, d4)
+    if mid_final:
+        out = mid if not isinstance(mid, (list, tuple)) else mid[0]
+        return out.reshape(blocks, mid_nwin * wb * brows, lanes)
+    v4, d4 = mid
+
+    # L3 — super-block strides; whole axis in one stripe
+    nsb = nwin
+    srows = wb * brows
+    v5 = v4.reshape(blocks, nsb, srows, lanes)
+    d5 = d4.reshape(blocks, nsb, srows, lanes)
+    high_passes = 0
+    base = _TBLK * wb
+    while (base << high_passes) <= disp_bound and (1 << high_passes) < nsb:
+        high_passes += 1
+    rs2 = 512
+    per_row2 = nsb * lanes * 6 * 2
+    while rs2 > 8 and rs2 * per_row2 > (8 << 20):
+        rs2 //= 2
+    while srows % rs2:
+        rs2 //= 2
+    nsb_out = -(-nbk_out // wb)
+    stripe = pl.BlockSpec((None, nsb, rs2, lanes),
+                          lambda b, t: (b, 0, t, 0),
+                          memory_space=pltpu.VMEM)
+    stripe_out = pl.BlockSpec((None, nsb_out, rs2, lanes),
+                              lambda b, t: (b, 0, t, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_tvd_high_kernel, passes=high_passes,
+                          base=base, nsb_out=nsb_out),
+        grid=(blocks, srows // rs2),
+        in_specs=[stripe, stripe],
+        out_specs=stripe_out,
+        out_shape=jax.ShapeDtypeStruct((blocks, nsb_out, srows, lanes),
+                                       jnp.int16),
+        interpret=interpret,
+    )(v5, d5)
+    return out.reshape(blocks, nsb_out * srows, lanes)
+
+
 _WBLK = 1 << 12  # wide-kernel column block. Trades expensive lane-axis
 # rolls (the 2-block halo sweep runs log2(B) passes) against cheap
 # sublane shifts (the stripe kernel runs the remaining log2(R/B) passes

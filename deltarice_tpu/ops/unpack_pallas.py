@@ -156,7 +156,7 @@ _LOOKBACK = 2
 def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, ovf_ref,
                    carry_ref, scratch_ref, *, wc: int, k: int, delta: bool,
                    sb: int, packed: bool, n_samples: int, j_eff: int,
-                   bias: bool = False):
+                   bias: bool = False, vd: bool = False):
     """One grid step: decode ``wc`` words of sb*128 segments.
 
     words_ref: (wc*sb, 128) uint32 — row t*sb+s is word t of sublane-group s.
@@ -263,7 +263,19 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, ovf_ref,
                     slot = (c * wc + g * _GROUP + tt) * j_eff + j
                     valid = active & (n < n_samples)
                     disp = slot - n
-                    if bias:
+                    if vd:
+                        # explicit (value, displacement) planes: any
+                        # displacement < 2**31 routes exactly (NOPTREX-
+                        # scale staging), no clamp, no flags
+                        row = (tt * j_eff + j) * sb
+                        scratch_ref[row : row + sb, :] = jnp.where(
+                            valid, out, 0
+                        )
+                        off2 = j_eff * _GROUP * sb
+                        scratch_ref[off2 + row : off2 + row + sb, :] = (
+                            jnp.where(valid, disp, -1)
+                        )
+                    elif bias:
                         # sign-biased plane: 16-bit displacement field
                         # (see concentrate_pallas._w16_pass); rare wider
                         # displacements clamp to dead + flag the segment
@@ -294,7 +306,13 @@ def _unpack_kernel(words_ref, next_ref, stage_ref, ntab_ref, ovf_ref,
         stage_ref[pl.ds(pl.multiple_of(row0 * j_eff, gsz), gsz * j_eff), :] = (
             scratch_ref[0 : gsz * j_eff, :].astype(stage_ref.dtype)
         )
-        if not packed:
+        if vd:
+            # second plane: displacements staged in the scratch's
+            # second half (ntab_ref carries the disp plane in vd mode)
+            ntab_ref[pl.ds(pl.multiple_of(row0 * j_eff, gsz), gsz * j_eff), :] = (
+                scratch_ref[gsz * j_eff : 2 * gsz * j_eff, :]
+            )
+        elif not packed:
             ntab_ref[pl.ds(row0, gsz), :] = jnp.concatenate(ntab_vals, axis=0)
         return (pos, n, acc, ovf, *hist)
 
@@ -420,6 +438,20 @@ def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
                         n_samples)
         spec = True
         bad = ovf != 0
+    elif _TILED and r_slots <= (1 << 21):
+        # NOPTREX-scale staging (or non-speculative wide displacements):
+        # explicit (value, displacement) tiled planes route EXACTLY for
+        # any displacement, through up to three sublane-shift levels
+        from .concentrate_pallas import concentrate_tiled_vd
+
+        (plane_v, plane_d), ovf = _kernel_program(
+            words, k, delta, sb, wc, j, interpret, True, n_samples,
+            tiled=True, vd=True,
+        )
+        out_t = concentrate_tiled_vd(plane_v, plane_d, n_samples, sb,
+                                     disp_bound, interpret)
+        out = _fit_cols(untile_rows(out_t, words.shape[0], sb, interpret),
+                        n_samples)
     elif disp_bound < (1 << 15) and r_slots < (1 << 15):
         from .concentrate_pallas import concentrate_packed
 
@@ -447,11 +479,13 @@ def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
     return out, bad
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.jit,
+                   static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
 def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
                     wc: int, j_eff: int, interpret: bool = False,
                     packed: bool = True, n_samples: int = 0,
-                    tiled: bool = False, bias: bool = False):
+                    tiled: bool = False, bias: bool = False,
+                    vd: bool = False):
     """Run the decode kernel. With ``packed`` the kernel emits one int32
     packed concentration plane (``disp << 16 | sample``); otherwise an
     int16 sample plane plus the per-word ``ntab`` count table for the XLA
@@ -488,14 +522,14 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
 
     kern = functools.partial(
         _unpack_kernel, wc=wc, k=k, delta=delta, sb=sb, packed=packed,
-        n_samples=n_samples, j_eff=j_eff, bias=bias,
+        n_samples=n_samples, j_eff=j_eff, bias=bias, vd=vd,
     )
 
     def body(words_ref, next_ref, *rest):
         out_refs = list(rest[:-2])
         carry_ref, scratch_ref = rest[-2:]
         stage_ref = out_refs.pop(0)
-        ntab_ref = out_refs.pop(0) if not packed else None
+        ntab_ref = out_refs.pop(0) if (not packed or vd) else None
         ovf_ref = out_refs.pop(0) if detect else None
         kern(words_ref, next_ref, stage_ref, ntab_ref, ovf_ref, carry_ref,
              scratch_ref)
@@ -506,10 +540,16 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
                               memory_space=pltpu.VMEM)
     stage_shape = jax.ShapeDtypeStruct(
         (blocks, n_chunks * j_eff * wc * sb, _LANES),
-        jnp.int32 if packed else jnp.int16,
+        jnp.int32 if (packed and not vd) else jnp.int16,
     )
     out_specs = [stage_spec]
     out_shapes = [stage_shape]
+    if vd:
+        # displacement plane, same slot layout as the sample plane
+        out_specs.append(stage_spec)
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (blocks, n_chunks * j_eff * wc * sb, _LANES), jnp.int32
+        ))
     if not packed:
         out_specs.append(
             pl.BlockSpec((None, wc * sb, _LANES), lambda b, c: (b, c, 0),
@@ -545,7 +585,8 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
                 ((4 + (_LOOKBACK if service else 0)) * sb, _LANES),
                 jnp.int32,
             ),
-            pltpu.VMEM((j_eff * gsz, _LANES), jnp.int32),
+            pltpu.VMEM(((2 if vd else 1) * j_eff * gsz, _LANES),
+                       jnp.int32),
         ],
         interpret=interpret,
     )(wt, wt)
@@ -565,6 +606,9 @@ def _kernel_program(words: jnp.ndarray, k: int, delta: bool, sb: int,
         ovf = out[-1][:, :sb, :].reshape(blocks * bseg)[:nseg]
     else:
         ovf = jnp.zeros((nseg,), jnp.int32)
+    if vd:
+        assert tiled, "vd emission serves the tiled concentration"
+        return (out[0], out[1]), ovf
     if packed:
         return (out[0] if tiled else untile(out[0])), ovf
     return (untile(out[0]), untile(out[1])), ovf

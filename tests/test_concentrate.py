@@ -224,6 +224,49 @@ class TestWideInterpret:
         assert np.array_equal(out, expect)
 
 
+class TestTiledVD:
+    """Interpret-mode checks of the two-plane tiled multi-level
+    concentration (NOPTREX-scale displacement range, sublane shifts)."""
+
+    @pytest.mark.parametrize("r,density,sb", [
+        (900, 0.9, 8),       # L1 only (disp < _TBLK)
+        (6000, 0.4, 2),      # L1 + L2
+        (50000, 0.35, 1),    # L1 + L2, mid-final with wide range
+        (80000, 0.3, 2),     # L1 + L2 + L3 (disp crosses _TBLK*WB)
+    ])
+    def test_matches_numpy(self, r, density, sb):
+        from deltarice_tpu.ops.concentrate_pallas import (
+            concentrate_tiled_vd)
+
+        nseg = sb * 128
+        vals, disp, n_out, dense = make_case(nseg, r, density, seed=r + 9)
+        bound = max(int(disp.max()), 0)
+        out = np.asarray(concentrate_tiled_vd(
+            jnp.asarray(_tile(vals, sb)), jnp.asarray(_tile(disp, sb)),
+            n_out, sb, bound, True,
+        ))
+        got = _untile(out, nseg, sb, n_out=n_out)
+        assert np.array_equal(got, dense)
+
+    def test_lone_far_element(self):
+        """A single element crossing every level lands at slot 0."""
+        from deltarice_tpu.ops.concentrate_pallas import (
+            concentrate_tiled_vd)
+
+        r = 70000
+        vals = np.zeros((128, r), np.int16)
+        disp = np.full((128, r), -1, np.int32)
+        vals[:, r - 1] = np.arange(128) % 31 + 1
+        disp[:, r - 1] = r - 1
+        out = np.asarray(concentrate_tiled_vd(
+            jnp.asarray(_tile(vals, 1)), jnp.asarray(_tile(disp, 1)),
+            4, 1, r - 1, True,
+        ))
+        got = _untile(out, 128, 1, n_out=4)
+        assert np.array_equal(got[:, 0], vals[:, r - 1])
+        assert not got[:, 1:].any()
+
+
 class TestTiledConcentration:
     """Interpret-mode checks of the tiled (sublane-shift) butterfly —
     runnable on CPU; the TPU equivalence is covered end-to-end by the
