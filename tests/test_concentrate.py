@@ -248,6 +248,18 @@ class TestTiledVD:
         got = _untile(out, nseg, sb, n_out=n_out)
         assert np.array_equal(got, dense)
 
+    def test_multi_block_grid(self):
+        """More than one 1024-segment block exercises grid dim 0."""
+        from deltarice_tpu.ops.concentrate_pallas import (
+            concentrate_tiled_vd)
+
+        vals, disp, n_out, dense = make_case(2048, 1200, 0.4, seed=77)
+        out = np.asarray(concentrate_tiled_vd(
+            jnp.asarray(_tile(vals, 8)), jnp.asarray(_tile(disp, 8)),
+            n_out, 8, max(int(disp.max()), 0), True,
+        ))
+        assert np.array_equal(_untile(out, 2048, 8, n_out=n_out), dense)
+
     def test_lone_far_element(self):
         """A single element crossing every level lands at slot 0."""
         from deltarice_tpu.ops.concentrate_pallas import (
