@@ -310,6 +310,118 @@ def _encode_split_rows(padded2d: np.ndarray, nvalid_rows: np.ndarray,
     return w, nw, nb, ls
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _merge_device(words3: jnp.ndarray, nbits2: jnp.ndarray, out_w: int,
+                  interpret: bool = False):
+    """Device-side sub-stream merge: shifted-OR concatenation at bit
+    offsets, formulated as ONE butterfly concentration.
+
+    Pre-shifting part p's words by its start-bit remainder r gives
+    ``sh[j] = src[j] >> r | src[j-1] << (32-r)`` whose word j lands at
+    output word ``w0_p + j`` — a displacement CONSTANT per part. The
+    butterfly's conflict-freedom needs CONSECUTIVE destinations (rank
+    concentration), so each part's boundary tail word — which shares an
+    output word with its successor — is pre-ORed into the successor's
+    first shifted word (bit-disjoint by the packer's zero-fill); where
+    the successor starts word-aligned (r == 0) or there is none, the
+    tail extends the part's own run instead. Every output word then has
+    exactly ONE source element and the A plane is a true concentration.
+    Replaces the host merge (memcpy-speed, but host-bandwidth-bound:
+    ~0.8 GB/s on a weak host) on the TPU path.
+
+    Requires every valid part except possibly each row's last to span
+    at least two output words (guaranteed by nb >= 64; true for
+    sub-block splits: >= _SPLIT_MIN_SUB samples at >= 1 bit each);
+    callers fall back to the host merge otherwise. words3 must be zero
+    past each stream's words.
+    """
+    from .ops.concentrate_pallas import concentrate_pallas
+
+    rows, parts, w_in = words3.shape
+    nb = nbits2.astype(jnp.int32)  # < 2^31 bits per sub-stream/row
+    base = jnp.cumsum(nb, axis=1) - nb
+    w0 = base >> 5
+    r2 = base & 31
+    r = r2.astype(jnp.uint32)[:, :, None]
+    src = words3
+    prev = jnp.pad(src[:, :, :-1], ((0, 0), (0, 0), (1, 0)))
+    sh = jnp.where(
+        r == 0, src, (src >> r) | (prev << ((jnp.uint32(32) - r)
+                                            & jnp.uint32(31)))
+    )
+    last = (base + nb - 1) >> 5
+    m_a = last - w0  # whole-word run length (tail word excluded)
+    valid = nb > 0
+    j_idx = jnp.arange(w_in, dtype=jnp.int32)[None, None, :]
+    # tails: each part's boundary word sh[m_a] (gather-free one-hot sum)
+    tails = jnp.sum(
+        jnp.where(j_idx == m_a[:, :, None], sh, jnp.uint32(0)),
+        axis=2, dtype=jnp.uint32,
+    )
+    # carry[p] = nearest preceding valid part's tail (skips empty parts)
+    carry_cols = []
+    c = jnp.zeros((rows,), jnp.uint32)
+    for p in range(parts):
+        carry_cols.append(c)
+        c = jnp.where(valid[:, p], tails[:, p], c)
+    carry = jnp.stack(carry_cols, axis=1)
+    # extend[p]: keep the tail in part p's own run — the next valid part
+    # starts word-aligned (its r == 0) or doesn't exist
+    ext_cols = [None] * parts
+    nxt_aligned = jnp.ones((rows,), bool)
+    for p in reversed(range(parts)):
+        ext_cols[p] = nxt_aligned
+        nxt_aligned = jnp.where(valid[:, p], r2[:, p] == 0, nxt_aligned)
+    extend = valid & jnp.stack(ext_cols, axis=1)
+    # fold each tail into the successor's first word where they share it
+    first = sh[:, :, 0] | jnp.where(valid & (r2 != 0), carry,
+                                    jnp.uint32(0))
+    sh = jnp.concatenate([first[:, :, None], sh[:, :, 1:]], axis=2)
+    valid_a = valid[:, :, None] & (
+        (j_idx < m_a[:, :, None])
+        | (extend[:, :, None] & (j_idx == m_a[:, :, None]))
+    )
+    p_idx = jnp.arange(parts, dtype=jnp.int32)[None, :]
+    disp_a = jnp.where(valid_a, (p_idx * w_in - w0)[:, :, None], -1)
+    return concentrate_pallas(
+        sh.reshape(rows, parts * w_in),
+        disp_a.reshape(rows, parts * w_in), out_w, None, interpret,
+    )
+
+
+def merge_substreams_device(words, nbits2: np.ndarray, parts: int):
+    """Merge sub-streams on device; returns (merged np.uint32 (rows,
+    maxw), nwords) — or ``None`` when a middle sub-stream holds < 32
+    bits (the B plane's strict monotonicity needs whole words; the
+    split layout only produces that for a segment's last sub-block, but
+    callers of the public host merge may not). ``words`` is the
+    (rows*parts, W) device array from the split encode; only
+    ~actual-compressed bytes cross device->host.
+    """
+    nb = np.ascontiguousarray(nbits2, dtype=np.int64)
+    rows = nb.shape[0]
+    nz = nb > 0
+    if nz.any():
+        # every valid part except each row's last must span >= 2 output
+        # words (its boundary word must not also be its first)
+        base = np.cumsum(nb, axis=1) - nb
+        m_a = ((base + nb - 1) >> 5) - (base >> 5)
+        idx = np.arange(nb.shape[1])[None, :]
+        last_nz = nb.shape[1] - 1 - np.argmax(nz[:, ::-1], axis=1)
+        if (nz & (m_a < 1) & (idx != last_nz[:, None])).any():
+            return None
+    total_bits = nb.sum(axis=1)
+    nwords = (total_bits + 31) >> 5
+    maxw = int(nwords.max(initial=0))
+    out_w = max(-(-(maxw + 1) // _WORD_BUCKET) * _WORD_BUCKET, parts)
+    w = min(int(words.shape[1]),
+            max(-(-int((nb.max(initial=0) + 31) >> 5) // _WORD_BUCKET)
+                * _WORD_BUCKET, 1))
+    w3 = words[:, :w].reshape(rows, parts, w)
+    merged = _merge_device(w3, jnp.asarray(nb), out_w)
+    return np.asarray(merged)[:, :maxw], nwords
+
+
 def merge_substreams(words3: np.ndarray, nbits2: np.ndarray):
     """Concatenate per-sub-block word streams at bit offsets (host side).
 
@@ -374,13 +486,17 @@ def compress(data, cfg: RiceConfig = RiceConfig(), method: str = "auto") -> byte
         words, nwords, nbits, _ls = _encode_split_rows(
             padded, nvalid, cfg, parts, method
         )
-        nws = np.asarray(nwords)
-        w = max(int(nws.max(initial=0)), 1)
-        merged, nw = merge_substreams(
-            np.asarray(words[:, :w]).reshape(nseg, parts, w),
-            np.asarray(nbits).reshape(nseg, parts),
-        )
-        return frame_stream(total, merged, nw)
+        nb2 = np.asarray(nbits).reshape(nseg, parts)
+        res = None
+        if jax.default_backend() == "tpu":
+            res = merge_substreams_device(words, nb2, parts)
+        if res is None:
+            nws = np.asarray(nwords)
+            w = max(int(nws.max(initial=0)), 1)
+            res = merge_substreams(
+                np.asarray(words[:, :w]).reshape(nseg, parts, w), nb2
+            )
+        return frame_stream(total, *res)
     words, nwords = encode_segments(
         jnp.asarray(padded), jnp.asarray(nvalid), cfg, cfg.max_words(length), method
     )
@@ -467,10 +583,16 @@ def compress_batch_collect(handle, cfg: RiceConfig = RiceConfig(),
     nwords = np.asarray(nwords)
     w = max(int(nwords.max(initial=0)), 1)
     if parts > 1:
-        merged, nw = merge_substreams(
-            np.asarray(words[:, :w]).reshape(nchunks * nseg, parts, w),
-            np.asarray(nbits).reshape(nchunks * nseg, parts),
-        )
+        nb2 = np.asarray(nbits).reshape(nchunks * nseg, parts)
+        res = None
+        if jax.default_backend() == "tpu":
+            res = merge_substreams_device(words, nb2, parts)
+        if res is None:
+            res = merge_substreams(
+                np.asarray(words[:, :w]).reshape(nchunks * nseg, parts,
+                                                 w), nb2
+            )
+        merged, nw = res
         merged = merged.reshape(nchunks, nseg, -1)
         nw = nw.reshape(nchunks, nseg)
         streams = [

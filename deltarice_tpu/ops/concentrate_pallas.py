@@ -102,8 +102,9 @@ def _conc_kernel(*refs, rp: int, n_planes: int, passes: tuple[int, ...],
             ref[:, :] = jnp.where(keep == _DEAD, 0, keep & 0xFFFF)
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _run(planes: tuple[jnp.ndarray, ...], n_out: int):
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _run(planes: tuple[jnp.ndarray, ...], n_out: int,
+         interpret: bool = False):
     rows, r = planes[0].shape
     rp = -(-r // _LANE) * _LANE
     n = len(planes)
@@ -143,6 +144,7 @@ def _run(planes: tuple[jnp.ndarray, ...], n_out: int):
             jax.ShapeDtypeStruct((rowp, n_out_p), p.dtype)
             for p in planes
         ],
+        interpret=interpret,
     )(*padded)
     if n_out_p < n_out:
         outs = [jnp.pad(o, ((0, 0), (0, n_out - n_out_p))) for o in outs]
@@ -968,9 +970,10 @@ def _concentrate_wide(values: jnp.ndarray, disp: jnp.ndarray, n_out: int,
     return out.astype(values.dtype)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def concentrate_pallas(values: jnp.ndarray, disp: jnp.ndarray, n_out: int,
-                       disp_bound: int | None = None):
+                       disp_bound: int | None = None,
+                       interpret: bool = False):
     """Drop-in TPU replacement for :func:`.concentrate.concentrate`.
 
     values: (rows, R) payload (any integer dtype; 16-bit payloads route as
@@ -988,20 +991,21 @@ def concentrate_pallas(values: jnp.ndarray, disp: jnp.ndarray, n_out: int,
         # segments) through the blocked wide kernels instead
         if (disp_bound is not None and disp_bound < (1 << 16)
                 and values.dtype.itemsize <= 2):
-            return _concentrate_wide16(values, disp, n_out, disp_bound)
-        return _concentrate_wide(values, disp, n_out)
+            return _concentrate_wide16(values, disp, n_out, disp_bound,
+                                       interpret)
+        return _concentrate_wide(values, disp, n_out, interpret)
     d = disp.astype(jnp.int32)
     base = jnp.where(d < 0, _DEAD, d << 16)
     if values.dtype.itemsize <= 2:
         p = base | jnp.where(d < 0, 0, values.astype(jnp.int32) & 0xFFFF)
-        (out,) = _run((p,), n_out)
+        (out,) = _run((p,), n_out, interpret)
         if values.dtype == jnp.int16:
             return ((out << 16) >> 16).astype(jnp.int16)
         return out.astype(values.dtype)
     v = values.astype(jnp.int32)
     hi = base | jnp.where(d < 0, 0, (v >> 16) & 0xFFFF)
     lo = (v & 0xFFFF).astype(jnp.int16)  # follower: payload only
-    out_hi, out_lo = _run((hi, lo), n_out)
+    out_hi, out_lo = _run((hi, lo), n_out, interpret)
     return ((out_hi << 16) | (out_lo.astype(jnp.int32) & 0xFFFF)).astype(
         values.dtype
     )

@@ -135,3 +135,39 @@ def test_merge_substreams_numpy_vs_native(use_native, monkeypatch):
         assert nw[s] == len(want)
         np.testing.assert_array_equal(got[s, : len(want)], want)
         assert not got[s, len(want):].any()
+
+
+@pytest.mark.parametrize("rows,parts,w,seed", [(16, 16, 600, 1),
+                                               (8, 4, 3000, 2),
+                                               (32, 8, 130, 3)])
+def test_device_merge_matches_host(rows, parts, w, seed):
+    """The single-concentration device merge is bit-identical to the
+    host merge, including word-aligned part boundaries (where a tail
+    extends its own run instead of folding into the successor), short
+    last parts, and empty (zero-bit) parts. Interpret mode on CPU."""
+    from deltarice_tpu.codec import _merge_device
+
+    rng = np.random.default_rng(seed)
+    words3 = rng.integers(0, 2**32, (rows, parts, w), dtype=np.uint32)
+    nbits2 = rng.integers(70, w * 32 - 40, (rows, parts)).astype(np.int64)
+    nbits2[0, -1] = 17
+    nbits2[1, -2:] = 0
+    if parts >= 3:
+        nbits2[2, 0] = ((nbits2[2, 0] + 31) // 32) * 32  # aligned bound
+    for r in range(rows):
+        for p in range(parts):
+            nb = int(nbits2[r, p])
+            full, rem = nb // 32, nb & 31
+            if rem:
+                words3[r, p, full] &= np.uint32(0xFFFFFFFF) << np.uint32(
+                    32 - rem
+                )
+            words3[r, p, full + (1 if rem else 0):] = 0
+    exp, _ = merge_substreams(words3, nbits2)
+    nw = (nbits2.sum(axis=1) + 31) >> 5
+    out_w = -(-max(int(nw.max()) + 1, parts) // 256) * 256
+    got = np.asarray(_merge_device(jnp.asarray(words3),
+                                   jnp.asarray(nbits2), out_w, True))
+    maxw = int(nw.max())
+    np.testing.assert_array_equal(got[:, :maxw], exp[:, :maxw])
+    assert not got[:, maxw:].any()

@@ -72,9 +72,10 @@ def bench_config(name: str, x: np.ndarray, cfg: RiceConfig, iters: int,
     merge_ms = None
     if parts > 1:
         # long segments: the production path splits each waveform into
-        # sub-blocks across lanes and merges sub-streams on the host; the
-        # two stages overlap in the pipelined file path, so the effective
-        # encode rate is the slower of (device dispatch, host merge)
+        # sub-blocks across lanes, then merges sub-streams ON DEVICE
+        # (two concentrations); encode = device encode + device merge
+        from deltarice_tpu.codec import _WORD_BUCKET, _merge_device
+
         xs, nv, p0, ls = _split_layout(x, np.full(nseg, length, np.int32),
                                        parts)
         xd, nvd, p0d = jnp.asarray(xs), jnp.asarray(nv), jnp.asarray(p0)
@@ -83,15 +84,18 @@ def bench_config(name: str, x: np.ndarray, cfg: RiceConfig, iters: int,
                                              p0d)
         t_enc = _timeit(enc_d, iters=iters, sync_cost=sync_cost)
         wsub, nwsub, nbits = enc_d()
-        nws = np.asarray(nwsub)
-        wmax = max(int(nws.max(initial=0)), 1)
-        w3 = np.asarray(wsub[:, :wmax]).reshape(nseg, parts, wmax)
         nb2 = np.asarray(nbits).reshape(nseg, parts)
-        t0 = time.perf_counter()
-        merged, nwords = merge_substreams(w3, nb2)
-        merge_ms = (time.perf_counter() - t0) * 1e3
-        t_enc = max(t_enc, merge_ms / 1e3)
-        words = jnp.asarray(merged)
+        total_bits = nb2.sum(axis=1)
+        nwords = (total_bits + 31) >> 5
+        out_w = -(-(int(nwords.max()) + 1) // _WORD_BUCKET) * _WORD_BUCKET
+        w = -(-int((nb2.max() + 31) >> 5) // _WORD_BUCKET) * _WORD_BUCKET
+        w3d = wsub[:, :w].reshape(nseg, parts, w)
+        nbd = jnp.asarray(nb2)
+        mrg = lambda: _merge_device(w3d, nbd, out_w)
+        t_merge = _timeit(mrg, iters=iters, sync_cost=sync_cost)
+        merge_ms = t_merge * 1e3
+        t_enc = t_enc + t_merge
+        words = mrg()
     else:
         xd = jnp.asarray(x)
         nvalid = jnp.full((nseg,), length, dtype=jnp.int32)
