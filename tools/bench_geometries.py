@@ -29,7 +29,6 @@ from deltarice_tpu.codec import (
     _split_parts,
     encode_segments,
     encode_segments_bits,
-    merge_substreams,
 )
 from deltarice_tpu.config import RiceConfig
 
