@@ -621,9 +621,10 @@ def concentrate_tiled_vd(values: jnp.ndarray, disp: jnp.ndarray,
     mid_passes = 0
     while (_TBLK << mid_passes) <= disp_bound and (1 << mid_passes) < wb:
         mid_passes += 1
+    # VMEM per stripe: 2 halo windows x (int16 v + int32 d) in + up to
+    # both planes out, x2 for pipeline double-buffering ~= 36 B/slot
     rstripe = 512
-    per_row = wb * lanes * 6 * 2
-    while rstripe > 8 and rstripe * per_row > (8 << 20):
+    while rstripe > 8 and rstripe * wb * lanes * 36 > (10 << 20):
         rstripe //= 2
     while brows % rstripe:
         rstripe //= 2
@@ -667,9 +668,9 @@ def concentrate_tiled_vd(values: jnp.ndarray, disp: jnp.ndarray,
     base = _TBLK * wb
     while (base << high_passes) <= disp_bound and (1 << high_passes) < nsb:
         high_passes += 1
+    # ~16 B/slot live (int16+int32 in, int16 out, x2 double-buffering)
     rs2 = 512
-    per_row2 = nsb * lanes * 6 * 2
-    while rs2 > 8 and rs2 * per_row2 > (8 << 20):
+    while rs2 > 8 and rs2 * nsb * lanes * 16 > (10 << 20):
         rs2 //= 2
     while srows % rs2:
         rs2 //= 2
