@@ -135,6 +135,11 @@ def _service_hint(counts, nvalid, k: int) -> int | None:
     nv = np.asarray(nvalid, dtype=np.float64)
     mean = float(np.max(nv / c, initial=0.0))
     j = max(2, int(np.ceil(1.3 * mean)) + 1)
+    # round up to a power of two: every distinct J compiles its own
+    # kernel (minutes through a remote-compile relay), so cap the
+    # variant set at {2, 4, 8, 16} while staying within 2x of the
+    # data-optimal service rate
+    j = 1 << (j - 1).bit_length()
     return j if j < j_max else None
 
 
