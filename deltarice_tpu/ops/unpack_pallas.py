@@ -109,13 +109,16 @@ def _sublane_factor(nseg: int) -> int:
     return 1 << max(sb - 1, 0).bit_length()
 
 
-def _chunk_words(j: int, sb: int) -> int:
-    """Words per grid chunk, sized so the staging block stays ~2 MB.
+def _chunk_words(j: int, sb: int, heavy: bool = False) -> int:
+    """Words per grid chunk, sized so the staging block fits VMEM with
+    pipeline double-buffering.
 
     ``j`` is the per-word decode unroll (``j_max`` or the adaptive
-    ``j_eff``), which sets the staging rows per word."""
+    ``j_eff``), which sets the staging rows per word; ``heavy`` halves
+    the budget for emission modes writing two planes per slot (vd)."""
     wc = 16
-    while wc * 2 * j * sb <= 8192:
+    cap = 4096 if heavy else 8192
+    while wc * 2 * j * sb <= cap:
         wc *= 2
     return wc
 
@@ -444,12 +447,15 @@ def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
         # any displacement, through up to three sublane-shift levels
         from .concentrate_pallas import concentrate_tiled_vd
 
+        wc2 = _chunk_words(j, sb, heavy=True)  # two planes per slot
+        nc2 = -(-words.shape[1] // wc2)
+        bound2 = (nc2 * wc2 - 1) * (j - 1) + (0 if exact else _LOOKBACK)
         (plane_v, plane_d), ovf = _kernel_program(
-            words, k, delta, sb, wc, j, interpret, True, n_samples,
+            words, k, delta, sb, wc2, j, interpret, True, n_samples,
             tiled=True, vd=True,
         )
         out_t = concentrate_tiled_vd(plane_v, plane_d, n_samples, sb,
-                                     disp_bound, interpret)
+                                     bound2, interpret)
         out = _fit_cols(untile_rows(out_t, words.shape[0], sb, interpret),
                         n_samples)
     elif disp_bound < (1 << 15) and r_slots < (1 << 15):
