@@ -22,6 +22,18 @@ def _draw(rng):
     kind = rng.choice(["walk", "uniform", "mixed", "const"])
     length = int(rng.integers(33, 6000))
     nseg = int(rng.integers(1, 12))
+    # occasionally a custom pre-filter (identity, double-delta, or a
+    # random +-1-leading FIR) instead of the default delta
+    filt = (1, -1)
+    pick = rng.integers(0, 5)
+    if pick == 1:
+        filt = (1,)
+    elif pick == 2:
+        filt = (1, -2, 1)
+    elif pick == 3:
+        filt = (int(rng.choice([1, -1])),) + tuple(
+            int(v) for v in rng.integers(-3, 4, int(rng.integers(1, 4)))
+        )
     total = int(rng.integers(1, nseg * length + 1))
     if kind == "walk":
         x = np.round(
@@ -37,7 +49,7 @@ def _draw(rng):
         x[burst:] = rng.integers(-32768, 32768, total - burst)
     else:
         x = np.full(total, rng.integers(-32768, 32768), np.int16)
-    return x, drt.RiceConfig(m, length)
+    return x, drt.RiceConfig(m, length, filt)
 
 
 @pytest.mark.parametrize("seed", range(6))
