@@ -91,14 +91,39 @@ def main():
         "encode total", lambda: encode_segments(xd, nvalid, cfg, max_words,
                                                 "pallas"), sc=sc
     )
-    (wst, kst, nw, _nb), t_ek = timeit(
-        "  encode kernel prog (w/ transp)",
-        lambda: _encode_kernel_program(xd, nvalid, cfg.k, True), sc=sc
-    )
-    _, t_pl = timeit(
-        "  placement (concentrate)",
-        lambda: _placement(wst, kst, max_words, _is_packed(length)), sc=sc,
-    )
+    from deltarice_tpu.ops.pack_pallas import _SB, _TILED
+    from deltarice_tpu.ops.concentrate_pallas import concentrate_tiled
+    from deltarice_tpu.ops.unpack_pallas import untile_rows
+
+    if _is_packed(length) and _TILED:
+        (wst, kst, nw, _nb), t_ek = timeit(
+            "  encode kernel prog (tiled)",
+            lambda: _encode_kernel_program(xd, nvalid, cfg.k, True,
+                                           tiled=True), sc=sc
+        )
+        lp = wst.shape[1] // _SB
+        n_out = min(max_words, lp)
+        bound = min(lp - 1, (1 << 15) - 1)
+        out_t, t_pl = timeit(
+            "  placement (tiled concentrate)",
+            lambda: concentrate_tiled((wst, kst), n_out, _SB, bound,
+                                      "u32"), sc=sc,
+        )
+        _, t_un = timeit(
+            "  words untile",
+            lambda: untile_rows(out_t, nseg, _SB), sc=sc,
+        )
+        t_pl += t_un
+    else:
+        (wst, kst, nw, _nb), t_ek = timeit(
+            "  encode kernel prog (w/ transp)",
+            lambda: _encode_kernel_program(xd, nvalid, cfg.k, True), sc=sc
+        )
+        _, t_pl = timeit(
+            "  placement (concentrate)",
+            lambda: _placement(wst, kst, max_words, _is_packed(length)),
+            sc=sc,
+        )
 
     # --- decode total + stages (from a realistically-sized word axis)
     words, nwords = encode_segments(xd, nvalid, cfg, max_words, "pallas")
@@ -116,35 +141,72 @@ def main():
         print(f"  (service rate J={j_eff} vs bound)")
     sb = _sublane_factor(nseg)
     jmax = codewords_per_word(cfg.k)
-    wc = _chunk_words(jmax, sb)
-    n_chunks = -(-w // wc)
-    dec_packed = ((n_chunks * wc - 1) * (jmax - 1) < (1 << 15)
-                  and n_chunks * wc * jmax < (1 << 15))
-    print(f"decode packed plane: {dec_packed} "
-          f"(slots {n_chunks * wc * jmax}, words in {w})")
-    if dec_packed:
-        from deltarice_tpu.ops.concentrate_pallas import concentrate_packed
+    j = jmax if j_eff is None else max(2, j_eff)
+    from deltarice_tpu.ops.unpack_pallas import _LOOKBACK, _TILED as _TD
+    from deltarice_tpu.ops.concentrate_pallas import (
+        concentrate_tiled as _ct, concentrate_tiled_vd)
 
+    wc = _chunk_words(j, sb)
+    n_chunks = -(-w // wc)
+    bound = (n_chunks * wc - 1) * (j - 1) + (
+        0 if j_eff is None else _LOOKBACK)
+    r_slots = n_chunks * wc * j
+    tiled_ok = _TD and r_slots <= (1 << 17)
+    if tiled_ok and bound < (1 << 16):
+        bias = bound >= (1 << 15)
+        print(f"decode path: tiled {'bias' if bias else 'packed'} "
+              f"(slots {r_slots}, words in {w}, J={j})")
         (plane, _ovf), t_dk = timeit(
-            "  decode kernel prog (w/ transp)",
-            lambda: _kernel_program(wd, cfg.k, True, sb, wc, jmax, False,
-                                    True, length),
+            "  decode kernel prog (tiled)",
+            lambda: _kernel_program(wd, cfg.k, True, sb, wc, j, False,
+                                    True, length, True, bias), sc=sc,
+        )
+        out_t, t_dc = timeit(
+            "  compaction (tiled concentrate)",
+            lambda: _ct((plane,), length, sb, bound, "int16", False,
+                        bias), sc=sc,
+        )
+        _, t_du = timeit(
+            "  samples untile",
+            lambda: untile_rows(out_t, nseg, sb), sc=sc,
+        )
+        t_dc += t_du
+    elif _TD and r_slots <= (1 << 21):
+        wc = _chunk_words(j, sb, heavy=True)
+        n_chunks = -(-w // wc)
+        bound = (n_chunks * wc - 1) * (j - 1) + (
+            0 if j_eff is None else _LOOKBACK)
+        print(f"decode path: tiled vd (slots {n_chunks * wc * j}, "
+              f"words in {w}, J={j})")
+        ((pv, pd), _ovf), t_dk = timeit(
+            "  decode kernel prog (tiled vd)",
+            lambda: _kernel_program(wd, cfg.k, True, sb, wc, j, False,
+                                    True, length, True, False, True),
             sc=sc,
         )
-        _, t_dc = timeit(
-            "  compaction (concentrate)",
-            lambda: concentrate_packed((plane,), length, False), sc=sc,
+        out_t, t_dc = timeit(
+            "  compaction (tiled vd concentrate)",
+            lambda: concentrate_tiled_vd(pv, pd, length, sb, bound),
+            sc=sc,
         )
+        _, t_du = timeit(
+            "  samples untile",
+            lambda: untile_rows(out_t, nseg, sb), sc=sc,
+        )
+        t_dc += t_du
     else:
+        print(f"decode path: ntab + wide (slots {r_slots}, words in {w})")
         ((stage, ntab), _ovf), t_dk = timeit(
             "  decode kernel prog (w/ transp)",
-            lambda: _kernel_program(wd, cfg.k, True, sb, wc, jmax, False,
+            lambda: _kernel_program(wd, cfg.k, True, sb, wc, j, False,
                                     False, length),
             sc=sc,
         )
         _, t_dc = timeit(
             "  compaction (concentrate)",
-            lambda: _compaction(stage, ntab, length, wc, jmax), sc=sc,
+            lambda: _compaction(stage, ntab, length, wc, j,
+                                0 if j_eff is None else _LOOKBACK, True),
+            sc=sc,
         )
 
     # --- isolated transposes at the real staging sizes
