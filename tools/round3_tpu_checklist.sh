@@ -5,6 +5,9 @@
 #   bash tools/round3_tpu_checklist.sh
 set -u
 cd /root/repo
+# script-mode python replaces sys.path[0] with the script's dir; keep the
+# package (and the axon sitecustomize) importable
+export PYTHONPATH=/root/repo:/root/.axon_site
 run() {
   name=$1; shift
   echo "=== $name: $* ==="
