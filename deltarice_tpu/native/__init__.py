@@ -9,7 +9,7 @@ the Delta-Rice filter (ID 32025) that registers into the process's HDF5 so
 chunk path — can read and write our files through the standard filter
 pipeline.
 
-Build: ``python -m deltarice_tpu.native.build`` (or ``make -C
+Build: ``python -m deltarice_tpu.native build`` (or ``make -C
 deltarice_tpu/native``). The shared library lands in
 ``deltarice_tpu/native/lib/``.
 """
@@ -19,6 +19,13 @@ from __future__ import annotations
 import ctypes
 import os
 from pathlib import Path
+
+# Import the submodule eagerly: the first `import deltarice_tpu.native.build`
+# binds the MODULE onto this package as the attribute ``build``. Doing it
+# here, before the ``def build`` below, means the function wins the name and
+# later lazy ``from .build import ...`` hits sys.modules without rebinding.
+from . import build as _build_module
+
 
 def library_path() -> Path:
     from .build import _LIB  # platform-dependent name (.so/.dylib/.dll)

@@ -1,6 +1,6 @@
 """Build the native Delta-Rice filter library with the system toolchain.
 
-Usage: ``python -m deltarice_tpu.native.build [-v]``
+Usage: ``python -m deltarice_tpu.native build [-v]``
 
 No HDF5 development install is required: the filter declares the minimal
 HDF5 ABI locally and resolves symbols at runtime (see h5z_deltarice.c).

@@ -78,7 +78,10 @@ def _conc_kernel(*refs, rp: int, n_planes: int, passes: tuple[int, ...],
             moved = (sh & smask) != 0
             stay = jnp.where((lead & smask) == 0, lead, _DEAD)
             move = jnp.where(moved, sh - smask, _DEAD)
-            fsh = pltpu.roll(follow, rp - s, axis=1)
+            # Mosaic's lane rotate only supports 32-bit element types;
+            # widen the int16 follower for the roll and narrow back
+            fsh = pltpu.roll(follow.astype(jnp.int32), rp - s,
+                             axis=1).astype(follow.dtype)
             planes = [jnp.maximum(stay, move),
                       jnp.where(moved, fsh, follow)]
         else:
@@ -562,7 +565,19 @@ def concentrate_tiled_vd(values: jnp.ndarray, disp: jnp.ndarray,
     nbk = -(-r // _TBLK)
     brows = _TBLK * sb
     lb = _TBLK.bit_length() - 1
+    # L2 window size: the mid kernel's Mosaic VMEM stack grows with
+    # (unrolled passes) x (window bytes) — the per-pass temporaries are
+    # NOT reused across the unroll, measured ~10 B per 2-window-halo
+    # slot per pass at the minimum rstripe of 8 — so shrink the window
+    # until the stack fits the ~16 MB scoped-vmem limit with headroom.
     wb = _TVD_WB
+    while wb > 16:
+        mp = 0
+        while (_TBLK << mp) <= disp_bound and (1 << mp) < wb:
+            mp += 1
+        if 2 * wb * 8 * lanes * 10 * max(mp, 1) <= (10 << 20):
+            break
+        wb //= 2
     need_mid = disp_bound >= _TBLK and nbk > 1
     nwin = -(-nbk // wb) if need_mid else 1
     need_high = need_mid and disp_bound >= _TBLK * wb and nwin > 1

@@ -20,7 +20,7 @@ def _compare(x, nvalid, cfg):
     xj = jnp.asarray(x)
     nv = jnp.asarray(nvalid)
     w_p, n_p = encode_segments(xj, nv, cfg, mw, "pallas")
-    w_x, n_x = _encode_segments_xla(xj, nv, cfg, mw, "segsum")
+    w_x, n_x, _ = _encode_segments_xla(xj, nv, cfg, mw, "segsum")
     np.testing.assert_array_equal(np.asarray(n_p), np.asarray(n_x))
     np.testing.assert_array_equal(np.asarray(w_p), np.asarray(w_x))
 
