@@ -41,7 +41,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
 _DEAD = -(1 << 31)  # int32 min
-_VMEM_BUDGET = 12 << 20  # leave headroom under the ~16 MB/core VMEM
+_VMEM_BUDGET = 12 << 20  # I/O-window sizing target per grid step
+
+# Mosaic enforces a conservative ~16 MB scoped-VMEM cap by default, but
+# the physical VMEM on current TPUs (v4/v5e/v5p) is 128 MiB. The wide
+# concentration kernels legitimately hold > 16 MB — pipelined window I/O
+# plus the unrolled butterfly's per-pass temporaries (which Mosaic does
+# not reuse across the unroll) — so raise the enforced cap with ample
+# headroom under the physical size instead of starving the block size.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 << 20)
 
 
 def _block_rows(rp: int, plane_bytes: int) -> int:
@@ -148,6 +156,7 @@ def _run(planes: tuple[jnp.ndarray, ...], n_out: int,
             for p in planes
         ],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(*padded)
     if n_out_p < n_out:
         outs = [jnp.pad(o, ((0, 0), (0, n_out - n_out_p))) for o in outs]
@@ -414,6 +423,7 @@ def concentrate_tiled(planes, n_out: int, sb: int, disp_bound: int,
         out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(*ins)
     if not isinstance(low, (list, tuple)):
         low = [low]
@@ -442,6 +452,7 @@ def concentrate_tiled(planes, n_out: int, sb: int, disp_bound: int,
                 (blocks, nbk_out, brows, lanes), odt
             ),
             interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
         )(*v3).reshape(blocks, nbk_out * brows, lanes)
     else:
         out = low[0]
@@ -494,18 +505,30 @@ def _tvd_shift(v, d, n: int, axis: int):
 
 def _tvd_low_kernel(v_ref, d_ref, *rest, sb: int, final: bool):
     """L1: strides 1.._TBLK/2 over halo-carry row windows (cf.
-    :func:`_tconc_low_kernel`)."""
-    outs, (scrv, scrd) = rest[:-2], rest[-2:]
+    :func:`_tconc_low_kernel`).
+
+    The int16 VALUE window is MATERIALIZED into one double-height
+    scratch instead of ``jnp.concatenate([raw, carry])``: Mosaic
+    miscompiles the lazy two-buffer int16 concat under the butterfly's
+    sublane-shift slices for sb >= 2 (even row shifts across the concat
+    seam pick values from the wrong half-tile; measured on v5e — the
+    displacement plane, int32, is unaffected), so the value plane must
+    be one real buffer before the shifts. Found by hardware validation;
+    interpret mode executes the lazy concat correctly and never sees it.
+    """
+    outs, (scrd, big_v) = rest[:-2], rest[-2:]
     j = pl.program_id(1)
+    brows = v_ref.shape[0]
 
     @pl.when(j == 0)
     def _():
-        scrv[:, :] = jnp.zeros_like(scrv)
+        big_v[brows:, :] = jnp.zeros_like(big_v[brows:, :])
         scrd[:, :] = jnp.full_like(scrd, -1)
 
     raw_v = v_ref[:, :]
     raw_d = d_ref[:, :]
-    v = jnp.concatenate([raw_v, scrv[:, :]], axis=0)
+    big_v[:brows, :] = raw_v
+    v = big_v[:, :]
     d = jnp.concatenate([raw_d, scrd[:, :]], axis=0)
     for b in range(_TBLK.bit_length() - 1):
         vs, ds = _tvd_shift(v, d, (1 << b) * sb, 0)
@@ -516,7 +539,7 @@ def _tvd_low_kernel(v_ref, d_ref, *rest, sb: int, final: bool):
     else:
         outs[0][:, :] = v[:keep]
         outs[1][:, :] = d[:keep]
-    scrv[:, :] = raw_v
+    big_v[brows:, :] = raw_v
     scrd[:, :] = raw_d
 
 
@@ -565,19 +588,29 @@ def concentrate_tiled_vd(values: jnp.ndarray, disp: jnp.ndarray,
     nbk = -(-r // _TBLK)
     brows = _TBLK * sb
     lb = _TBLK.bit_length() - 1
-    # L2 window size: the mid kernel's Mosaic VMEM stack grows with
-    # (unrolled passes) x (window bytes) — the per-pass temporaries are
-    # NOT reused across the unroll, measured ~10 B per 2-window-halo
-    # slot per pass at the minimum rstripe of 8 — so shrink the window
-    # until the stack fits the ~16 MB scoped-vmem limit with headroom.
-    wb = _TVD_WB
-    while wb > 16:
+    # L2 window/stripe size: the mid kernel's Mosaic VMEM stack grows
+    # with (unrolled passes) x (window bytes) — the per-pass temporaries
+    # are NOT reused across the unroll, measured ~10 B per 2-window-halo
+    # slot per pass — PLUS ~36 B/slot of pipelined window I/O. Size wb
+    # and rstripe JOINTLY against the ~16 MB scoped-vmem limit (with
+    # headroom): shrink rstripe first (more grid steps over the same
+    # butterfly), only then wb (which raises nwin and the L3 depth).
+    def _mid_passes(w: int) -> int:
         mp = 0
-        while (_TBLK << mp) <= disp_bound and (1 << mp) < wb:
+        while (_TBLK << mp) <= disp_bound and (1 << mp) < w:
             mp += 1
-        if 2 * wb * 8 * lanes * 10 * max(mp, 1) <= (10 << 20):
+        return mp
+
+    wb = _TVD_WB
+    rstripe = 512
+    while (rstripe * wb * lanes
+           * (36 + 20 * max(_mid_passes(wb), 1))) > (10 << 20):
+        if rstripe > 8:
+            rstripe //= 2
+        elif wb > 16:
+            wb //= 2
+        else:
             break
-        wb //= 2
     need_mid = disp_bound >= _TBLK and nbk > 1
     nwin = -(-nbk // wb) if need_mid else 1
     need_high = need_mid and disp_bound >= _TBLK * wb and nwin > 1
@@ -613,9 +646,10 @@ def concentrate_tiled_vd(values: jnp.ndarray, disp: jnp.ndarray,
         in_specs=[blk_in, blk_in],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((brows, lanes), jnp.int16),
-                        pltpu.VMEM((brows, lanes), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((brows, lanes), jnp.int32),
+                        pltpu.VMEM((2 * brows, lanes), jnp.int16)],
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(v, d)
     if low_final:
         return low if not isinstance(low, (list, tuple)) else low[0]
@@ -633,14 +667,7 @@ def concentrate_tiled_vd(values: jnp.ndarray, disp: jnp.ndarray,
     v4 = jnp.pad(v4, ((0, 0), (0, wb), (0, 0), (0, 0)))
     d4 = jnp.pad(d4, ((0, 0), (0, wb), (0, 0), (0, 0)),
                  constant_values=-1)
-    mid_passes = 0
-    while (_TBLK << mid_passes) <= disp_bound and (1 << mid_passes) < wb:
-        mid_passes += 1
-    # VMEM per stripe: 2 halo windows x (int16 v + int32 d) in + up to
-    # both planes out, x2 for pipeline double-buffering ~= 36 B/slot
-    rstripe = 512
-    while rstripe > 8 and rstripe * wb * lanes * 36 > (10 << 20):
-        rstripe //= 2
+    mid_passes = _mid_passes(wb)
     while brows % rstripe:
         rstripe //= 2
     mid_final = not need_high
@@ -668,6 +695,7 @@ def concentrate_tiled_vd(values: jnp.ndarray, disp: jnp.ndarray,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(v4, d4, v4, d4)
     if mid_final:
         out = mid if not isinstance(mid, (list, tuple)) else mid[0]
@@ -683,9 +711,12 @@ def concentrate_tiled_vd(values: jnp.ndarray, disp: jnp.ndarray,
     base = _TBLK * wb
     while (base << high_passes) <= disp_bound and (1 << high_passes) < nsb:
         high_passes += 1
-    # ~16 B/slot live (int16+int32 in, int16 out, x2 double-buffering)
+    # ~16 B/slot pipelined I/O (int16+int32 in, int16 out, x2 double-
+    # buffering) + the same not-reused-across-unroll per-pass stack term
+    # as L2 (~10 B/slot per unrolled pass)
     rs2 = 512
-    while rs2 > 8 and rs2 * nsb * lanes * 16 > (10 << 20):
+    while rs2 > 8 and (rs2 * nsb * lanes
+                       * (16 + 10 * max(high_passes, 1))) > (10 << 20):
         rs2 //= 2
     while srows % rs2:
         rs2 //= 2
@@ -705,6 +736,7 @@ def concentrate_tiled_vd(values: jnp.ndarray, disp: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((blocks, nsb_out, srows, lanes),
                                        jnp.int16),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
     )(v5, d5)
     return out.reshape(blocks, nsb_out * srows, lanes)
 
@@ -858,6 +890,7 @@ def _concentrate_wide16(values: jnp.ndarray, disp: jnp.ndarray, n_out: int,
     op = pl.pallas_call(
         functools.partial(_wide16_low_kernel, final=passes == 0),
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
         grid=(rowp // bs, nb),
         in_specs=[
             pl.BlockSpec((bs, _WBLK), lambda i, j: (i, nb - 1 - j),
@@ -875,6 +908,7 @@ def _concentrate_wide16(values: jnp.ndarray, disp: jnp.ndarray, n_out: int,
         op = pl.pallas_call(
             functools.partial(_wide16_high_kernel, passes=passes),
             interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
             grid=(rowp // bs, _WBLK // bc),
             in_specs=[
                 pl.BlockSpec((bs, nb, bc), lambda i, j: (i, 0, j),
@@ -948,6 +982,7 @@ def _concentrate_wide(values: jnp.ndarray, disp: jnp.ndarray, n_out: int,
     ov, od = pl.pallas_call(
         kern,
         interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
         grid=(rowp // bs, nb),
         in_specs=[rtl, rtl],
         out_specs=[rtl, rtl],
@@ -967,6 +1002,7 @@ def _concentrate_wide(values: jnp.ndarray, disp: jnp.ndarray, n_out: int,
         ov = pl.pallas_call(
             functools.partial(_high_kernel, nb=nb),
             interpret=interpret,
+            compiler_params=_VMEM_LIMIT,
             grid=(rowp // bs, _WBLK // bc),
             in_specs=[
                 pl.BlockSpec((bs, nb, bc), lambda i, j: (i, 0, j),
