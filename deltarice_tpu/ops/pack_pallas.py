@@ -42,9 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ESCAPE_Q
 
-#: place words with the tiled (sublane-shift) butterfly in the kernel's own
-#: layout; DELTARICE_TPU_TILED_CONC=0 falls back to untile + lane rolls.
-_TILED = os.environ.get("DELTARICE_TPU_TILED_CONC", "1") == "1"
+#: encode placement routing. Measured on TPU v5e (round 4): the untiled
+#: packed lane-roll placement beats the tiled (sublane-shift) butterfly on
+#: every packed-eligible geometry tried (Nab [1024,7000] 17.4 vs 12.8
+#: GB/s; nEDM sub-block encode 9.0 vs 8.2), so the packed placement is the
+#: default wherever it applies. DELTARICE_TPU_TILED_CONC=2 forces the
+#: tiled placement (A/B benchmarking); =0 also disables tiled elsewhere.
+_TILED_FORCE = os.environ.get("DELTARICE_TPU_TILED_CONC", "1") == "2"
 
 _U32 = jnp.uint32
 _LANES = 128
@@ -225,7 +229,7 @@ def pack_encode_pallas_bits(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
     Returns (words (S, max_words) uint32, nwords (S,), nbits (S,)).
     """
     packed = _is_packed(x.shape[1])
-    if packed and _TILED:
+    if packed and _TILED_FORCE:
         from .concentrate_pallas import concentrate_tiled
         from .unpack_pallas import untile_rows
 

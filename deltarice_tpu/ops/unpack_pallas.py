@@ -56,10 +56,17 @@ _LANES = 128
 _GROUP = 16  # words per inner unrolled group
 _DEAD = -(1 << 31)  # dead slot marker of the packed concentration planes
 
-#: compact the packed plane in the kernel's own tiled layout (sublane-shift
-#: butterfly; no staging untile transpose). Escape hatch: set
-#: DELTARICE_TPU_TILED_CONC=0 to route through the untiled lane-roll kernel.
-_TILED = os.environ.get("DELTARICE_TPU_TILED_CONC", "1") == "1"
+#: tiled-layout concentration routing (sublane-shift butterfly; no staging
+#: untile transpose). Measured on TPU v5e (round 4): the untiled PACKED
+#: lane-roll kernel wins ~1.45x on narrow slot axes (Nab decode 19.0 vs
+#: 13.1 GB/s), the tiled family wins on wide ones (nEDM decode 13.2 vs
+#: 5.3 GB/s) — so the default ("1") routes packed first where it is
+#: eligible (r_slots and disp_bound < 2**15) and tiled/bias/vd beyond.
+#: DELTARICE_TPU_TILED_CONC=0 disables the tiled family entirely;
+#: =2 forces tiled even where packed would win (A/B benchmarking).
+_TILED_MODE = os.environ.get("DELTARICE_TPU_TILED_CONC", "1")
+_TILED = _TILED_MODE != "0"
+_TILED_FORCE = _TILED_MODE == "2"
 
 
 def untile_rows(a: jnp.ndarray, nseg: int, sb: int,
@@ -410,7 +417,20 @@ def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
     # wide) instead of the int32 staging (slots*j wide). The slot-axis
     # cap bounds the block-stride stripe kernel's VMEM window.
     tiled_ok = _TILED and r_slots <= (1 << 17)
-    if tiled_ok and disp_bound < (1 << 16):
+    # narrow staging (Nab-scale): the untiled packed lane-roll kernel is
+    # the measured winner (~1.45x over tiled on [1024, 7000] decode) —
+    # route it first wherever its 15-bit displacement field suffices
+    packed_ok = (disp_bound < (1 << 15) and r_slots < (1 << 15)
+                 and not _TILED_FORCE)
+    if packed_ok:
+        from .concentrate_pallas import concentrate_packed
+
+        plane, ovf = _kernel_program(
+            words, k, delta, sb, wc, j, interpret, True, n_samples
+        )
+        out = concentrate_packed((plane,), n_samples, wide=False)
+        out = ((out << 16) >> 16).astype(jnp.int16)
+    elif tiled_ok and disp_bound < (1 << 16):
         # exact: plain plane for 15-bit displacement bounds, sign-biased
         # plane for 16-bit ones — no clamping possible either way
         from .concentrate_pallas import concentrate_tiled
@@ -458,7 +478,9 @@ def unpack_decode_pallas(words: jnp.ndarray, n_samples: int, k: int,
                                      bound2, interpret)
         out = _fit_cols(untile_rows(out_t, words.shape[0], sb, interpret),
                         n_samples)
-    elif disp_bound < (1 << 15) and r_slots < (1 << 15):
+    elif _TILED_FORCE and disp_bound < (1 << 15) and r_slots < (1 << 15):
+        # forced-tiled A/B mode with no eligible tiled branch above:
+        # fall back to packed rather than the slow staged compaction
         from .concentrate_pallas import concentrate_packed
 
         plane, ovf = _kernel_program(

@@ -91,11 +91,11 @@ def main():
         "encode total", lambda: encode_segments(xd, nvalid, cfg, max_words,
                                                 "pallas"), sc=sc
     )
-    from deltarice_tpu.ops.pack_pallas import _SB, _TILED
+    from deltarice_tpu.ops.pack_pallas import _SB, _TILED_FORCE
     from deltarice_tpu.ops.concentrate_pallas import concentrate_tiled
     from deltarice_tpu.ops.unpack_pallas import untile_rows
 
-    if _is_packed(length) and _TILED:
+    if _is_packed(length) and _TILED_FORCE:
         (wst, kst, nw, _nb), t_ek = timeit(
             "  encode kernel prog (tiled)",
             lambda: _encode_kernel_program(xd, nvalid, cfg.k, True,
@@ -142,9 +142,10 @@ def main():
     sb = _sublane_factor(nseg)
     jmax = codewords_per_word(cfg.k)
     j = jmax if j_eff is None else max(2, j_eff)
-    from deltarice_tpu.ops.unpack_pallas import _LOOKBACK, _TILED as _TD
+    from deltarice_tpu.ops.unpack_pallas import (
+        _LOOKBACK, _TILED as _TD, _TILED_FORCE as _TDF)
     from deltarice_tpu.ops.concentrate_pallas import (
-        concentrate_tiled as _ct, concentrate_tiled_vd)
+        concentrate_packed, concentrate_tiled as _ct, concentrate_tiled_vd)
 
     wc = _chunk_words(j, sb)
     n_chunks = -(-w // wc)
@@ -152,7 +153,20 @@ def main():
         0 if j_eff is None else _LOOKBACK)
     r_slots = n_chunks * wc * j
     tiled_ok = _TD and r_slots <= (1 << 17)
-    if tiled_ok and bound < (1 << 16):
+    packed_ok = bound < (1 << 15) and r_slots < (1 << 15) and not _TDF
+    if packed_ok:
+        print(f"decode path: packed lane-roll (slots {r_slots}, "
+              f"words in {w}, J={j})")
+        (plane, _ovf), t_dk = timeit(
+            "  decode kernel prog (packed)",
+            lambda: _kernel_program(wd, cfg.k, True, sb, wc, j, False,
+                                    True, length), sc=sc,
+        )
+        _, t_dc = timeit(
+            "  compaction (packed concentrate)",
+            lambda: concentrate_packed((plane,), length, False), sc=sc,
+        )
+    elif tiled_ok and bound < (1 << 16):
         bias = bound >= (1 << 15)
         print(f"decode path: tiled {'bias' if bias else 'packed'} "
               f"(slots {r_slots}, words in {w}, J={j})")
