@@ -133,7 +133,18 @@ def _service_hint(counts, nvalid, k: int) -> int | None:
     j_max = codewords_per_word(k)
     c = np.maximum(np.asarray(counts, dtype=np.float64), 1.0)
     nv = np.asarray(nvalid, dtype=np.float64)
-    mean = float(np.max(nv / c, initial=0.0))
+    spw = nv / c  # per-segment mean codeword starts per word
+    if spw.size == 0:
+        return None
+    hi = float(np.max(spw))
+    # a few dense segments inside an escape-heavy dispatch must not
+    # forfeit the whole batch's reduced rate: when the top 1% of
+    # segments would force a >= 2x higher service rate than the rest
+    # need, size J for the 99th percentile — the outliers overrun the
+    # lookback window, get lag-flagged, and re-decode exactly (the same
+    # guarantee that makes the reduced rate safe at all)
+    q99 = float(np.quantile(spw, 0.99))
+    mean = q99 if hi > 2.0 * q99 else hi
     j = max(2, int(np.ceil(1.3 * mean)) + 1)
     # round up to a power of two: every distinct J compiles its own
     # kernel (minutes through a remote-compile relay), so cap the

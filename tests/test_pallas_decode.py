@@ -124,6 +124,15 @@ def test_service_hint_regimes():
     assert _service_hint(np.full(4, 940), nv, 3) is None
     # degenerate zero counts don't divide by zero
     assert _service_hint(np.zeros(2), np.full(2, 10), 3) is None
+    # a dense 1% minority in a hostile batch must not forfeit the
+    # reduced rate: J sizes to the 99th percentile, the outliers ride
+    # the lag flags into the exact re-decode
+    counts = np.full(1024, 5469)
+    counts[:5] = 940  # five dense matched-M segments (~7.4 starts/word)
+    assert _service_hint(counts, np.full(1024, 7000), 3) == 4
+    # ...but when the "outliers" are a third of the batch, the max rules
+    counts[:400] = 940
+    assert _service_hint(counts, np.full(1024, 7000), 3) is None
 
 
 @tpu_only

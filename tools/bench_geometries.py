@@ -169,6 +169,13 @@ CONFIGS = {
     # escape-heavy worst case (reference test_worst_case analog, at scale)
     "escape_uniform": lambda: (make_data("uniform", (1024, 7000), 0.0),
                                RiceConfig(8, 7000)),
+    # hostile batch with a dense minority: 1% compressible segments
+    # must not forfeit the reduced service rate (quantile-sized J;
+    # outliers lag-flag and re-decode exactly)
+    "mixed_dense1pct": lambda: (np.concatenate([
+        make_data("uniform", (1014, 7000), 0.0),
+        make_data("walk", (10, 7000), 10.0),
+    ]), RiceConfig(8, 7000)),
 }
 
 
