@@ -466,21 +466,31 @@ def merge_substreams(words3: np.ndarray, nbits2: np.ndarray):
             nb.ctypes.data, maxw + 1, out.ctypes.data,
         )
         return out[:, :maxw], nwords
-    for s in range(rows):
-        bit = 0
-        for p in range(parts):
-            nb_sp = int(nbits2[s, p])
-            if nb_sp == 0:
-                continue
-            m = (nb_sp + 31) >> 5
-            w = words3[s, p, :m]
-            w0, r = bit >> 5, bit & 31
-            if r == 0:
-                out[s, w0 : w0 + m] |= w
-            else:
-                out[s, w0 : w0 + m] |= w >> np.uint32(r)
-                out[s, w0 + 1 : w0 + 1 + m] |= w << np.uint32(32 - r)
-            bit += nb_sp
+    # vectorized over rows (parts is a short loop): each part's words are
+    # shifted by the row's bit phase and OR-placed at its word offset. A
+    # row's columns within one part are distinct, so plain fancy |= is
+    # collision-free; words beyond a stream's length are zero by the
+    # packer's zero-fill, so over-width stores OR zeros (clipped to the
+    # scratch column, which is discarded).
+    nb64 = nbits2.astype(np.int64)
+    base = np.cumsum(nb64, axis=1) - nb64  # (rows, P) start bit offsets
+    ridx = np.arange(rows)[:, None]
+    for p in range(parts):
+        nb_p = nb64[:, p]
+        mmax = int(((nb_p.max(initial=0)) + 31) >> 5)
+        if mmax == 0:
+            continue
+        w = words3[:, p, :mmax]
+        r = (base[:, p] & 31).astype(np.uint32)[:, None]
+        w0 = (base[:, p] >> 5).astype(np.int64)[:, None]
+        phase = r != 0
+        lo = np.where(phase, w >> r, w)
+        hi = np.where(phase, w << ((np.uint32(32) - r) & np.uint32(31)),
+                      np.uint32(0))
+        cols = w0 + np.arange(mmax, dtype=np.int64)[None, :]
+        np.minimum(cols, maxw, out=cols)
+        out[ridx, cols] |= lo
+        out[ridx, np.minimum(cols + 1, maxw)] |= hi
     return out[:, :maxw], nwords
 
 
