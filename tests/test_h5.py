@@ -110,3 +110,23 @@ def test_written_bytes_identical_to_reference(tmp_path):
             _mask, blob = dset.id.read_direct_chunk((row, 0))
             ref = oracle.compress(x[row : row + 4], cfg.to_cd_values())
             assert blob == ref, f"chunk at row {row} differs from reference"
+
+
+def test_register_alias_import(tmp_path):
+    """``import deltarice_tpu.register`` registers filter 32025 as an
+    import side effect (drop-in for ``import deltaRice.h5``, reference
+    /root/reference/src/h5.pyx:32-61) — after it, plain h5py writes and
+    reads deltarice datasets through the standard filter pipeline."""
+    import deltarice_tpu.register as reg
+
+    assert reg.H5FILTER == 32025
+    x = _data((8, 200), seed=11)
+    cfg = drt.RiceConfig(8, 200)
+    with h5py.File(tmp_path / "a.h5", "w") as f:
+        f.create_dataset(
+            "d", data=x, chunks=(4, 200),
+            compression=reg.H5FILTER, compression_opts=cfg.to_cd_values(),
+        )
+    with h5py.File(tmp_path / "a.h5", "r") as f:
+        assert f["d"].compression is None  # non-standard filter id
+        np.testing.assert_array_equal(f["d"][...], x)
