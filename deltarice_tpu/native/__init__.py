@@ -20,15 +20,8 @@ import ctypes
 import os
 from pathlib import Path
 
-# Import the submodule eagerly: the first `import deltarice_tpu.native.build`
-# binds the MODULE onto this package as the attribute ``build``. Doing it
-# here, before the ``def build`` below, means the function wins the name and
-# later lazy ``from .build import ...`` hits sys.modules without rebinding.
-from . import build as _build_module
-
-
 def library_path() -> Path:
-    from .build import _LIB  # platform-dependent name (.so/.dylib/.dll)
+    from ._build import _LIB  # platform-dependent name (.so/.dylib/.dll)
 
     return _LIB
 
@@ -39,7 +32,7 @@ def is_built() -> bool:
 
 def build(verbose: bool = False) -> Path:
     """Compile the native filter library (idempotent)."""
-    from .build import build_library
+    from ._build import build_library
 
     return build_library(verbose=verbose)
 

@@ -23,7 +23,7 @@ def main(argv=None) -> int:
     pi.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
     if args.cmd == "build":
-        from .build import build_library
+        from ._build import build_library
 
         print(f"built {build_library(verbose=args.verbose)}")
     else:

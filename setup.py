@@ -24,7 +24,7 @@ class build_py_with_native(build_py):
         here = Path(__file__).resolve().parent
         sys.path.insert(0, str(here))
         try:
-            from deltarice_tpu.native.build import build_library
+            from deltarice_tpu.native._build import build_library
 
             build_library()
         except Exception as exc:  # no toolchain: pure-Python wheel
