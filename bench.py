@@ -100,7 +100,10 @@ def main():
         mb = 64.0
         if "--mb" in sys.argv:
             mb = float(sys.argv[sys.argv.index("--mb") + 1])
-        print(json.dumps(bench_file.run(mb=mb)))
+        geom = "all"  # all three published geometries (Nab/nEDM/NOPTREX)
+        if "--geom" in sys.argv:
+            geom = sys.argv[sys.argv.index("--geom") + 1]
+        print(json.dumps(bench_file.run(mb=mb, geom=geom)))
         return
 
     nseg, length = 1024, 7000  # ~14.3 MB of int16 per batch

@@ -31,13 +31,26 @@ import numpy as np
 REPO = Path(__file__).resolve().parent.parent
 
 
-def _nab_data(mb: float, length: int = 7000, chunk_rows: int = 32):
+# the reference's three published file benchmarks, with its exact chunk
+# shapes and segment lengths (/root/reference/docs/Performance.md:14,27,38);
+# M=8 + delta filter for all three, as the reference used. sigma shapes the
+# random-walk data so compressed ratios land near the published 29/27/25%.
+GEOMETRIES = {
+    "nab": {"length": 7000, "chunk_rows": 2000, "sigma": 10.0},
+    "nedm": {"length": 81920, "chunk_rows": 32, "sigma": 8.0},
+    "noptrex": {"length": 500000, "chunk_rows": 32, "sigma": 6.0},
+}
+
+
+def _make_data(geom: str, mb: float) -> np.ndarray:
+    g = GEOMETRIES[geom]
+    length, chunk_rows = g["length"], g["chunk_rows"]
     rows_per_chunk_bytes = chunk_rows * length * 2
     nchunks = max(1, int(mb * 1e6) // rows_per_chunk_bytes)
     rows = nchunks * chunk_rows
     rng = np.random.default_rng(0)
     x = np.cumsum(
-        np.round(rng.normal(0, 10, (rows, length))), axis=-1
+        np.round(rng.normal(0, g["sigma"], (rows, length))), axis=-1
     ).astype(np.int16)
     return x
 
@@ -103,7 +116,7 @@ class _OurFilter:
             pass
 
 
-def _time_pipeline(path, x, cd_values, iters):
+def _time_pipeline(path, x, cd_values, iters, chunk_rows=32):
     """Write + read through the h5py filter pipeline (filter must be
     registered). Returns (write_MBps, read_MBps, stored_bytes)."""
     import h5py
@@ -113,8 +126,8 @@ def _time_pipeline(path, x, cd_values, iters):
         t0 = time.perf_counter()
         with h5py.File(path, "w") as f:
             f.create_dataset(
-                "d", data=x, chunks=(32, x.shape[1]),
-                compression=32025, compression_opts=(8, x.shape[1]),
+                "d", data=x, chunks=(chunk_rows, x.shape[1]),
+                compression=32025, compression_opts=cd_values,
             )
         tw.append(time.perf_counter() - t0)
         with h5py.File(path, "r") as f:
@@ -127,7 +140,7 @@ def _time_pipeline(path, x, cd_values, iters):
     return mb / min(tw), mb / min(tr), stored
 
 
-def _time_tpu_direct(path, x, cfg, iters):
+def _time_tpu_direct(path, x, cfg, iters, chunk_rows=32, batch_chunks=32):
     import h5py
 
     from deltarice_tpu import h5 as drh5
@@ -136,13 +149,14 @@ def _time_tpu_direct(path, x, cfg, iters):
     for _ in range(iters):
         t0 = time.perf_counter()
         with h5py.File(path, "w") as f:
-            drh5.write_dataset(f, "d", x, cfg, chunks=(32, x.shape[1]),
-                               batch_chunks=32)
+            drh5.write_dataset(f, "d", x, cfg,
+                               chunks=(chunk_rows, x.shape[1]),
+                               batch_chunks=batch_chunks)
         tw.append(time.perf_counter() - t0)
         with h5py.File(path, "r") as f:
             stored = f["d"].id.get_storage_size()
             t0 = time.perf_counter()
-            got = drh5.read_dataset(f["d"], batch_chunks=32)
+            got = drh5.read_dataset(f["d"], batch_chunks=batch_chunks)
         tr.append(time.perf_counter() - t0)
     assert np.array_equal(got, x), "tpu round-trip failed"
     mb = x.nbytes / 1e6
@@ -170,55 +184,86 @@ def _transfer_bw(nbytes: int = 8 << 20):
     return nbytes / 1e6 / h2d, nbytes / 1e6 / d2h
 
 
-def run(mb: float = 64, iters: int = 3, workdir: str | None = None) -> dict:
-    import jax
-
+def _run_geometry(geom: str, mb: float, iters: int, base: Path) -> dict:
     from deltarice_tpu.config import RiceConfig
 
-    x = _nab_data(mb)
-    length = x.shape[1]
+    g = GEOMETRIES[geom]
+    x = _make_data(geom, mb)
+    length, chunk_rows = x.shape[1], g["chunk_rows"]
     cfg = RiceConfig(8, length)
-    base = Path(workdir or ("/dev/shm" if Path("/dev/shm").is_dir()
-                            else "/tmp"))
-    base = base / "deltarice_bench"
-    base.mkdir(exist_ok=True)
+    # keep device batches near the Nab batch footprint (~64 chunk-rows of
+    # work in flight) regardless of segment length
+    batch_chunks = max(1, (2000 * 7000) // (chunk_rows * length))
 
     results = {}
-    h2d, d2h = _transfer_bw()
-    w, r, stored = _time_tpu_direct(base / "tpu.h5", x, cfg, iters)
+    w, r, stored = _time_tpu_direct(base / f"tpu_{geom}.h5", x, cfg, iters,
+                                    chunk_rows, batch_chunks)
     results["tpu_direct_chunk"] = {
         "write_MBps": round(w, 1), "read_MBps": round(r, 1),
         "ratio": round(stored / x.nbytes, 3),
     }
     with _OurFilter():
-        w, r, stored = _time_pipeline(base / "ours.h5", x,
-                                      (8, length), iters)
+        w, r, stored = _time_pipeline(base / f"ours_{geom}.h5", x,
+                                      (8, length), iters, chunk_rows)
     results["native_plugin_omp"] = {
         "write_MBps": round(w, 1), "read_MBps": round(r, 1),
         "ratio": round(stored / x.nbytes, 3),
     }
     with _RefFilter():
-        w, r, stored = _time_pipeline(base / "ref.h5", x, (8, length), iters)
+        w, r, stored = _time_pipeline(base / f"ref_{geom}.h5", x,
+                                      (8, length), iters, chunk_rows)
     results["reference_filter_omp"] = {
         "write_MBps": round(w, 1), "read_MBps": round(r, 1),
         "ratio": round(stored / x.nbytes, 3),
     }
+    results["file_MB"] = round(x.nbytes / 1e6, 1)
+    results["chunk"] = [chunk_rows, length]
+    return results
 
-    ours = results["native_plugin_omp"]
-    ref = results["reference_filter_omp"]
-    hm = lambda a, b: 2.0 / (1.0 / a + 1.0 / b)
+
+_HM = lambda a, b: 2.0 / (1.0 / a + 1.0 / b)
+
+
+def run(mb: float = 64, iters: int = 3, workdir: str | None = None,
+        geom: str = "all") -> dict:
+    import jax
+
+    base = Path(workdir or ("/dev/shm" if Path("/dev/shm").is_dir()
+                            else "/tmp"))
+    base = base / "deltarice_bench"
+    base.mkdir(exist_ok=True)
+
+    geoms = list(GEOMETRIES) if geom == "all" else [geom]
+    h2d, d2h = _transfer_bw()
+    rows = {g: _run_geometry(g, mb, iters, base) for g in geoms}
+
+    # headline value stays the Nab row (the reference's first table);
+    # vs_baseline compares our native filter to the reference filter on
+    # the identical pipeline, per geometry
+    head = rows.get("nab", rows[geoms[0]])
+    ours, ref = head["native_plugin_omp"], head["reference_filter_omp"]
+    vs = {
+        g: round(
+            _HM(r["native_plugin_omp"]["write_MBps"],
+                r["native_plugin_omp"]["read_MBps"])
+            / _HM(r["reference_filter_omp"]["write_MBps"],
+                  r["reference_filter_omp"]["read_MBps"]), 3,
+        )
+        for g, r in rows.items()
+    }
     return {
-        "metric": "HDF5 file<->RAM throughput on this host (tmpfs, Nab-shaped)",
-        "value": round(hm(ours["write_MBps"], ours["read_MBps"]), 1),
+        "metric": "HDF5 file<->RAM throughput on this host (tmpfs; "
+                  "published Nab/nEDM/NOPTREX geometries)",
+        "value": round(_HM(ours["write_MBps"], ours["read_MBps"]), 1),
         "unit": "MB/s",
         "vs_baseline": round(
-            hm(ours["write_MBps"], ours["read_MBps"])
-            / hm(ref["write_MBps"], ref["read_MBps"]), 3,
+            _HM(ours["write_MBps"], ours["read_MBps"])
+            / _HM(ref["write_MBps"], ref["read_MBps"]), 3,
         ),
         "detail": {
-            "file_MB": round(x.nbytes / 1e6, 1),
+            "geometries": rows,
+            "vs_reference_by_geometry": vs,
             "threads": __import__("os").cpu_count(),
-            "comparators": results,
             "relay_H2D_MBps": round(h2d, 1),
             "relay_D2H_MBps": round(d2h, 1),
             "platform": jax.devices()[0].platform,
@@ -234,4 +279,6 @@ def run(mb: float = 64, iters: int = 3, workdir: str | None = None) -> dict:
 
 
 if __name__ == "__main__":
-    print(json.dumps(run()))
+    import sys
+
+    print(json.dumps(run(geom=sys.argv[1] if len(sys.argv) > 1 else "all")))
