@@ -220,20 +220,24 @@ def test_bias_plane_speculative_clamp_roundtrip():
     far under it: the kernel clamps (rarely) + flags, the biased tiled
     butterfly runs, flagged segments re-decode exactly."""
     rng = np.random.default_rng(12)
-    x = np.round(np.cumsum(rng.normal(0, 10, (6, 50000)), axis=-1)).astype(
+    # 62000 samples at sigma=10 pack to ~10.3k words: the static bound
+    # (W-1)*(j_max-1) clears 2**16 (50000 undershot it at ~60.9k — this
+    # precondition was authored off-hardware in round 3 and first ran on
+    # a chip in round 4)
+    x = np.round(np.cumsum(rng.normal(0, 10, (6, 62000)), axis=-1)).astype(
         np.int16
     )
     words = _encode_bucketed(x, 3)
     bound = (words.shape[1] - 1) * 7
     assert bound >= (1 << 16), f"case drifted: {bound}"
-    res = unpack_decode_pallas(words, 50000, 3, True, False, None, True)
+    res = unpack_decode_pallas(words, 62000, 3, True, False, None, True)
     assert isinstance(res, tuple), "speculative path must return flags"
     out, bad = res
     from deltarice_tpu.codec import _redecode_bad_rows
 
     got = _redecode_bad_rows(np.asarray(out), np.asarray(bad),
-                             np.asarray(words), 50000,
-                             RiceConfig(8, 50000))
+                             np.asarray(words), 62000,
+                             RiceConfig(8, 62000))
     np.testing.assert_array_equal(got, x)
 
 
