@@ -33,6 +33,7 @@ displacement < 2**31 and 32-bit payloads without half-word splitting.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +43,11 @@ from jax.experimental.pallas import tpu as pltpu
 _LANE = 128
 _DEAD = -(1 << 31)  # int32 min
 _VMEM_BUDGET = 12 << 20  # I/O-window sizing target per grid step
+
+#: vd window-sizing budget (bytes). With the Mosaic cap raised to 100
+#: MiB the old hardcoded 10 MiB target starved the L2/L3 stripes
+#: (rstripe=8 at NOPTREX scale); env knob for A/B sweeps on hardware.
+_TVD_BUDGET = int(os.environ.get("DELTARICE_TPU_VD_BUDGET_MB", "10")) << 20
 
 # Mosaic enforces a conservative ~16 MB scoped-VMEM cap by default, but
 # the physical VMEM on current TPUs (v4/v5e/v5p) is 128 MiB. The wide
@@ -459,117 +465,153 @@ def concentrate_tiled(planes, n_out: int, sb: int, disp_bound: int,
     return out
 
 
-# --- two-plane tiled concentration: explicit (value, displacement) ----
+# --- tiled concentration with wide displacements: the vd family ------
 #
 # NOPTREX-scale decode staging (~10^6 slots per 500k-sample segment)
 # carries displacements up to ~R - n_samples ~ 2^19 — past both packed
-# plane formats — so value and displacement ride as separate tiled
-# planes (int16 payload + int32 disp, dead = -1), and the butterfly runs
-# in up to three VMEM levels, every pass still a sublane shift:
-#   L1  strides 1.._TBLK/2 slots      — halo-carry row windows
+# plane formats at slot resolution — so L1 runs on explicit planes
+# (int16 payload + int32 displacement, dead = -1) and the butterfly
+# spans up to three VMEM levels, every pass still a sublane shift:
+#   L1  strides 1.._TBLK/2 slots      — multi-block halo-carry windows
+#                                       (_TVD_NW blocks + 1 carry block:
+#                                       the halo costs 1/NW extra work
+#                                       instead of the 2x a one-block
+#                                       window pays)
 #   L2  strides _TBLK.._TBLK*WB/2     — 2-window halos over the block
 #                                       axis of a (nbk, rstripe) view
 #   L3  strides _TBLK*WB and up       — one stripe holds every
 #                                       super-block (small axis)
+# After L1 every surviving displacement is a multiple of _TBLK, and the
+# vd router only admits slot axes <= 2**21, so disp >> log2(_TBLK) <
+# 2**13 ALWAYS fits the packed plane's 15-bit field: L1 emits one packed
+# ``(disp >> 8) << 16 | halfword`` plane and L2/L3 run the ~2x-cheaper
+# single-plane max-butterfly (as the packed kernels do) instead of
+# two-plane select chains. Measured on v5e (NOPTREX decode staging,
+# (1, 1286144, 128) sb=2, bound 562681): 32.6 ms two-plane three-level
+# -> see docs/Performance.md for the current number.
 # The untiled wide kernels (_concentrate_wide/_wide16) remain for
 # segment-major callers; this path serves the decode kernel's native
 # tiled staging without untile transposes or lane rolls.
 
 _TVD_WB = 128  # L2 window, in _TBLK-blocks (covers strides < _TBLK*WB)
+#: L1 blocks per window; the +1 carry block is amortized over all of
+#: them. VMEM-bounded: window ~ (NW+1)*_TBLK*sb*128 slots x ~6 B plus
+#: the unrolled passes' temporaries.
+_TVD_NW = int(os.environ.get("DELTARICE_TPU_VD_NW", "4"))
 
 
-def _tvd_pass(v, d, vs, ds, stride: int):
-    """One butterfly pass on explicit planes: move where the shifted
-    displacement has the stride bit, else stay where ours lacks it."""
-    move = (ds >= 0) & ((ds & stride) != 0)
-    stay = (d >= 0) & ((d & stride) == 0)
-    v = jnp.where(move, vs, v)
-    d = jnp.where(move, ds - stride, jnp.where(stay, d, -1))
-    return v, d
+def _packed_pass(p, sh, bit: int):
+    """One max-butterfly pass on a packed ``disp<<16|val`` plane."""
+    smask = jnp.int32(1 << (16 + bit))
+    stay = jnp.where((p & smask) == 0, p, _DEAD)
+    move = jnp.where((sh & smask) != 0, sh - smask, _DEAD)
+    return jnp.maximum(stay, move)
 
 
-def _tvd_shift(v, d, n: int, axis: int):
-    """Shift planes ``n`` elements up along ``axis`` (dead fill)."""
-    pad_shape = list(v.shape)
-    pad_shape[axis] = n
-    idx = [slice(None)] * v.ndim
-    idx[axis] = slice(n, None)
-    vs = jnp.concatenate(
-        [v[tuple(idx)], jnp.zeros(pad_shape, v.dtype)], axis=axis
-    )
-    ds = jnp.concatenate(
-        [d[tuple(idx)], jnp.full(pad_shape, -1, d.dtype)], axis=axis
-    )
-    return vs, ds
+def _tvd_low_kernel(v_ref, d_ref, out_ref, *scr, sb: int, final: bool,
+                    nw: int):
+    """L1: strides 1.._TBLK/2 over multi-block halo-carry row windows.
 
+    Window = ``nw`` raw blocks + the previous (right) window's first
+    block as carry halo; low passes shift at most _TBLK/2*sb rows, so
+    one carry block covers them all.
 
-def _tvd_low_kernel(v_ref, d_ref, *rest, sb: int, final: bool):
-    """L1: strides 1.._TBLK/2 over halo-carry row windows (cf.
-    :func:`_tconc_low_kernel`).
+    The passes run on two INT32 planes: a packed leader
+    ``A = (disp & (_TBLK-1)) << 16 | halfword`` whose low-displacement
+    bits route via the max-butterfly, and a follower ``B = disp >> lb``
+    carrying the high displacement bits (the butterfly only subtracts
+    SET bits, so the low/high split never borrows). Two birds: the pass
+    costs drop from ~11 mixed-dtype ops/slot to ~8 int32 ops, and int16
+    disappears from the shift slices entirely — Mosaic miscompiles
+    sublane-shifted int16 (and, at nw >= 4 window heights, lazily
+    concatenated int32) operands, so the window planes are also
+    MATERIALIZED into tall scratches instead of
+    ``jnp.concatenate([raw, carry])``. Both found by hardware
+    validation; interpret mode executes the lazy forms correctly and
+    never sees them.
 
-    The int16 VALUE window is MATERIALIZED into one double-height
-    scratch instead of ``jnp.concatenate([raw, carry])``: Mosaic
-    miscompiles the lazy two-buffer int16 concat under the butterfly's
-    sublane-shift slices for sb >= 2 (even row shifts across the concat
-    seam pick values from the wrong half-tile; measured on v5e — the
-    displacement plane, int32, is unaffected), so the value plane must
-    be one real buffer before the shifts. Found by hardware validation;
-    interpret mode executes the lazy concat correctly and never sees it.
+    When not final, emits ONE packed ``B << 16 | halfword`` plane for
+    the single-plane L2/L3 passes (disp is a multiple of _TBLK here,
+    and the vd router admits slot axes <= 2**21, so B < 2**13 always
+    fits the 15-bit field).
     """
-    outs, (scrd, big_v) = rest[:-2], rest[-2:]
+    big_a, big_b = scr
     j = pl.program_id(1)
-    brows = v_ref.shape[0]
+    wrows = v_ref.shape[0]
+    brows = wrows // nw
+    lb = _TBLK.bit_length() - 1
+
+    raw_d = d_ref[:, :]
+    raw_a = jnp.where(
+        raw_d >= 0,
+        ((raw_d & (_TBLK - 1)) << 16)
+        | (v_ref[:, :].astype(jnp.int32) & 0xFFFF),
+        _DEAD,
+    )
+    raw_b = raw_d >> lb
 
     @pl.when(j == 0)
     def _():
-        big_v[brows:, :] = jnp.zeros_like(big_v[brows:, :])
-        scrd[:, :] = jnp.full_like(scrd, -1)
+        big_a[wrows:, :] = jnp.full_like(big_a[wrows:, :], _DEAD)
+        big_b[wrows:, :] = jnp.zeros_like(big_b[wrows:, :])
 
-    raw_v = v_ref[:, :]
-    raw_d = d_ref[:, :]
-    big_v[:brows, :] = raw_v
-    v = big_v[:, :]
-    d = jnp.concatenate([raw_d, scrd[:, :]], axis=0)
-    for b in range(_TBLK.bit_length() - 1):
-        vs, ds = _tvd_shift(v, d, (1 << b) * sb, 0)
-        v, d = _tvd_pass(v, d, vs, ds, 1 << b)
-    keep = v.shape[0] // 2
+    big_a[:wrows, :] = raw_a
+    big_b[:wrows, :] = raw_b
+    a = big_a[:, :]
+    bb = big_b[:, :]
+    for b in range(lb):
+        n = (1 << b) * sb
+        dead = jnp.full((n, a.shape[1]), _DEAD, jnp.int32)
+        sha = jnp.concatenate([a[n:], dead], axis=0)
+        shb = jnp.concatenate(
+            [bb[n:], jnp.zeros((n, bb.shape[1]), jnp.int32)], axis=0
+        )
+        smask = jnp.int32(1 << (16 + b))
+        moved = (sha & smask) != 0
+        stay = jnp.where((a & smask) == 0, a, _DEAD)
+        a = jnp.maximum(stay, jnp.where(moved, sha - smask, _DEAD))
+        bb = jnp.where(moved, shb, bb)
     if final:
-        outs[0][:, :] = jnp.where(d == 0, v, 0)[:keep]
+        # low_final implies disp_bound < _TBLK, so B == 0 for all valid
+        # elements and A's field alone decides arrival
+        out_ref[:, :] = _tconc_finalize(a[:wrows], None, "int16")
     else:
-        outs[0][:, :] = v[:keep]
-        outs[1][:, :] = d[:keep]
-    big_v[brows:, :] = raw_v
-    scrd[:, :] = raw_d
+        out_ref[:, :] = jnp.where(
+            a[:wrows] == _DEAD, _DEAD,
+            (bb[:wrows] << 16) | (a[:wrows] & 0xFFFF),
+        )
+    big_a[wrows:, :] = raw_a[:brows]
+    big_b[wrows:, :] = raw_b[:brows]
 
 
-def _tvd_mid_kernel(v1, d1, v2, d2, *outs, passes: int, final: bool):
+def _tvd_mid_kernel(p1, p2, o_ref, *, passes: int, final: bool):
     """L2: block strides over a 2-window halo of the (wb, rstripe, lane)
-    view; after L1 every displacement is a multiple of _TBLK, so a
-    stride of s blocks tests/clears disp bit s*_TBLK."""
-    v = jnp.concatenate([v1[:, :, :], v2[:, :, :]], axis=0)
-    d = jnp.concatenate([d1[:, :, :], d2[:, :, :]], axis=0)
+    view of the packed plane; packed disp bit h = original stride
+    _TBLK << h."""
+    p = jnp.concatenate([p1[:, :, :], p2[:, :, :]], axis=0)
     for h in range(passes):
-        vs, ds = _tvd_shift(v, d, 1 << h, 0)
-        v, d = _tvd_pass(v, d, vs, ds, _TBLK << h)
-    keep = v.shape[0] // 2
+        s = 1 << h
+        dead = jnp.full((s,) + p.shape[1:], _DEAD, jnp.int32)
+        sh = jnp.concatenate([p[s:], dead], axis=0)
+        p = _packed_pass(p, sh, h)
+    keep = p.shape[0] // 2
     if final:
-        outs[0][:, :, :] = jnp.where(d == 0, v, 0)[:keep]
+        o_ref[:, :, :] = _tconc_finalize(p[:keep], None, "int16")
     else:
-        outs[0][:, :, :] = v[:keep]
-        outs[1][:, :, :] = d[:keep]
+        o_ref[:, :, :] = p[:keep]
 
 
-def _tvd_high_kernel(v_ref, d_ref, ov_ref, *, passes: int, base: int,
+def _tvd_high_kernel(p_ref, o_ref, *, passes: int, lwb: int,
                      nsb_out: int):
-    """L3: super-block strides; the whole (small) super-block axis sits
-    in one VMEM stripe. Always final."""
-    v = v_ref[:, :, :]
-    d = d_ref[:, :, :]
+    """L3: super-block strides on the packed plane; the whole (small)
+    super-block axis sits in one VMEM stripe. Always final."""
+    p = p_ref[:, :, :]
     for h in range(passes):
-        vs, ds = _tvd_shift(v, d, 1 << h, 0)
-        v, d = _tvd_pass(v, d, vs, ds, base << h)
-    ov_ref[:, :, :] = jnp.where(d == 0, v, 0)[:nsb_out]
+        s = 1 << h
+        dead = jnp.full((s,) + p.shape[1:], _DEAD, jnp.int32)
+        sh = jnp.concatenate([p[s:], dead], axis=0)
+        p = _packed_pass(p, sh, lwb + h)
+    o_ref[:, :, :] = _tconc_finalize(p[:nsb_out], None, "int16")
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -588,13 +630,54 @@ def concentrate_tiled_vd(values: jnp.ndarray, disp: jnp.ndarray,
     nbk = -(-r // _TBLK)
     brows = _TBLK * sb
     lb = _TBLK.bit_length() - 1
-    # L2 window/stripe size: the mid kernel's Mosaic VMEM stack grows
-    # with (unrolled passes) x (window bytes) — the per-pass temporaries
-    # are NOT reused across the unroll, measured ~10 B per 2-window-halo
-    # slot per pass — PLUS ~36 B/slot of pipelined window I/O. Size wb
-    # and rstripe JOINTLY against the ~16 MB scoped-vmem limit (with
-    # headroom): shrink rstripe first (more grid steps over the same
-    # butterfly), only then wb (which raises nwin and the L3 depth).
+    if (disp_bound >> lb) >= (1 << 15):
+        raise ValueError(
+            f"vd displacement bound {disp_bound} over the packed L2 "
+            f"field ({_TBLK} << 15)"
+        )
+    need_mid = disp_bound >= _TBLK and nbk > 1
+    n_out_slots = min(n_out, nbk * _TBLK)
+    nbk_out = -(-n_out_slots // _TBLK)
+
+    # L1 — right-to-left multi-block halo-carry windows
+    low_final = not need_mid
+    nw = max(1, _TVD_NW)
+    nwin1 = -(-nbk // nw)
+    nbkp1 = nwin1 * nw
+    wrows = nw * brows
+    pad = ((0, 0), (0, nbkp1 * brows - rows), (0, 0))
+    v = jnp.pad(values, pad)
+    d = jnp.pad(disp, pad, constant_values=-1)
+    nwout1 = -(-nbk_out // nw) if low_final else nwin1
+    blk_in = pl.BlockSpec((None, wrows, lanes),
+                          lambda b, j: (b, nwin1 - 1 - j, 0),
+                          memory_space=pltpu.VMEM)
+    blk_out = pl.BlockSpec(
+        (None, wrows, lanes),
+        lambda b, j: (b, jnp.minimum(nwin1 - 1 - j, nwout1 - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    odt = jnp.int16 if low_final else jnp.int32
+    low = pl.pallas_call(
+        functools.partial(_tvd_low_kernel, sb=sb, final=low_final, nw=nw),
+        grid=(blocks, nwin1),
+        in_specs=[blk_in, blk_in],
+        out_specs=[blk_out],
+        out_shape=[jax.ShapeDtypeStruct((blocks, nwout1 * wrows, lanes),
+                                        odt)],
+        scratch_shapes=[pltpu.VMEM((wrows + brows, lanes), jnp.int32),
+                        pltpu.VMEM((wrows + brows, lanes), jnp.int32)],
+        interpret=interpret,
+        compiler_params=_VMEM_LIMIT,
+    )(v, d)[0]
+    if low_final:
+        return low
+    p = low
+
+    # L2 — block-stride passes over 2-window halos of the packed plane.
+    # Window/stripe sizing: pipelined window I/O (2 halo reads + 1 write
+    # of one int32 plane, double-buffered ~ 24 B/slot) plus the
+    # not-reused-across-unroll per-pass temporaries (~8 B/slot/pass).
     def _mid_passes(w: int) -> int:
         mp = 0
         while (_TBLK << mp) <= disp_bound and (1 << mp) < w:
@@ -604,69 +687,25 @@ def concentrate_tiled_vd(values: jnp.ndarray, disp: jnp.ndarray,
     wb = _TVD_WB
     rstripe = 512
     while (rstripe * wb * lanes
-           * (36 + 20 * max(_mid_passes(wb), 1))) > (10 << 20):
+           * (24 + 8 * max(_mid_passes(wb), 1))) > _TVD_BUDGET:
         if rstripe > 8:
             rstripe //= 2
         elif wb > 16:
             wb //= 2
         else:
             break
-    need_mid = disp_bound >= _TBLK and nbk > 1
-    nwin = -(-nbk // wb) if need_mid else 1
-    need_high = need_mid and disp_bound >= _TBLK * wb and nwin > 1
-    n_out_slots = min(n_out, nbk * _TBLK)
-    nbk_out = -(-n_out_slots // _TBLK)
-    pad = ((0, 0), (0, nbk * brows - rows), (0, 0))
-    v = jnp.pad(values, pad)
-    d = jnp.pad(disp, pad, constant_values=-1)
-
-    # L1 — right-to-left halo-carry over row blocks
-    low_final = not need_mid
-    low_nbk = nbk_out if low_final else nbk
-    blk_in = pl.BlockSpec((None, brows, lanes),
-                          lambda b, j: (b, nbk - 1 - j, 0),
-                          memory_space=pltpu.VMEM)
-    blk_out = pl.BlockSpec(
-        (None, brows, lanes),
-        lambda b, j: (b, jnp.minimum(nbk - 1 - j, low_nbk - 1), 0),
-        memory_space=pltpu.VMEM,
-    )
-    out_shapes = [jax.ShapeDtypeStruct((blocks, low_nbk * brows, lanes),
-                                       jnp.int16)]
-    out_specs = [blk_out]
-    if not low_final:
-        out_shapes.append(
-            jax.ShapeDtypeStruct((blocks, low_nbk * brows, lanes),
-                                 jnp.int32)
-        )
-        out_specs.append(blk_out)
-    low = pl.pallas_call(
-        functools.partial(_tvd_low_kernel, sb=sb, final=low_final),
-        grid=(blocks, nbk),
-        in_specs=[blk_in, blk_in],
-        out_specs=out_specs,
-        out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((brows, lanes), jnp.int32),
-                        pltpu.VMEM((2 * brows, lanes), jnp.int16)],
-        interpret=interpret,
-        compiler_params=_VMEM_LIMIT,
-    )(v, d)
-    if low_final:
-        return low if not isinstance(low, (list, tuple)) else low[0]
-    v, d = low
-
-    # L2 — block-stride passes over 2-window halos of (nbk, rstripe)
+    nwin = -(-nbk // wb)
+    need_high = disp_bound >= _TBLK * wb and nwin > 1
     nbkp = nwin * wb
-    if nbkp != nbk:
-        extra = ((0, 0), (0, (nbkp - nbk) * brows), (0, 0))
-        v = jnp.pad(v, extra)
-        d = jnp.pad(d, extra, constant_values=-1)
-    v4 = v.reshape(blocks, nbkp, brows, lanes)
-    d4 = d.reshape(blocks, nbkp, brows, lanes)
+    if nbkp * brows > p.shape[1]:
+        p = jnp.pad(p, ((0, 0), (0, nbkp * brows - p.shape[1]), (0, 0)),
+                    constant_values=_DEAD)
+    elif nbkp * brows < p.shape[1]:
+        p = p[:, : nbkp * brows]  # sliced rows are dead padding
+    p4 = p.reshape(blocks, nbkp, brows, lanes)
     # one all-dead halo window on the right
-    v4 = jnp.pad(v4, ((0, 0), (0, wb), (0, 0), (0, 0)))
-    d4 = jnp.pad(d4, ((0, 0), (0, wb), (0, 0), (0, 0)),
-                 constant_values=-1)
+    p4 = jnp.pad(p4, ((0, 0), (0, wb), (0, 0), (0, 0)),
+                 constant_values=_DEAD)
     mid_passes = _mid_passes(wb)
     while brows % rstripe:
         rstripe //= 2
@@ -680,43 +719,34 @@ def concentrate_tiled_vd(values: jnp.ndarray, disp: jnp.ndarray,
     win_out = pl.BlockSpec((None, wb, rstripe, lanes),
                            lambda b, w, t: (b, w, t, 0),
                            memory_space=pltpu.VMEM)
-    out_shapes = [jax.ShapeDtypeStruct(
-        (blocks, mid_nwin * wb, brows, lanes), jnp.int16)]
-    out_specs = [win_out]
-    if not mid_final:
-        out_shapes.append(jax.ShapeDtypeStruct(
-            (blocks, mid_nwin * wb, brows, lanes), jnp.int32))
-        out_specs.append(win_out)
     mid = pl.pallas_call(
         functools.partial(_tvd_mid_kernel, passes=mid_passes,
                           final=mid_final),
         grid=(blocks, mid_nwin, brows // rstripe),
-        in_specs=[win(0), win(0), win(1), win(1)],
-        out_specs=out_specs,
-        out_shape=out_shapes,
+        in_specs=[win(0), win(1)],
+        out_specs=[win_out],
+        out_shape=[jax.ShapeDtypeStruct(
+            (blocks, mid_nwin * wb, brows, lanes),
+            jnp.int16 if mid_final else jnp.int32)],
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
-    )(v4, d4, v4, d4)
+    )(p4, p4)[0]
     if mid_final:
-        out = mid if not isinstance(mid, (list, tuple)) else mid[0]
-        return out.reshape(blocks, mid_nwin * wb * brows, lanes)
-    v4, d4 = mid
+        return mid.reshape(blocks, mid_nwin * wb * brows, lanes)
 
-    # L3 — super-block strides; whole axis in one stripe
+    # L3 — super-block strides; whole (small) axis in one stripe
     nsb = nwin
     srows = wb * brows
-    v5 = v4.reshape(blocks, nsb, srows, lanes)
-    d5 = d4.reshape(blocks, nsb, srows, lanes)
+    p5 = mid.reshape(blocks, nsb, srows, lanes)
     high_passes = 0
     base = _TBLK * wb
     while (base << high_passes) <= disp_bound and (1 << high_passes) < nsb:
         high_passes += 1
-    # ~16 B/slot pipelined I/O (int16+int32 in, int16 out, x2 double-
-    # buffering) + the same not-reused-across-unroll per-pass stack term
-    # as L2 (~10 B/slot per unrolled pass)
+    # single int32 plane: ~12 B/slot pipelined I/O + ~6 B/slot per
+    # unrolled pass
     rs2 = 512
     while rs2 > 8 and (rs2 * nsb * lanes
-                       * (16 + 10 * max(high_passes, 1))) > (10 << 20):
+                       * (12 + 6 * max(high_passes, 1))) > _TVD_BUDGET:
         rs2 //= 2
     while srows % rs2:
         rs2 //= 2
@@ -729,15 +759,15 @@ def concentrate_tiled_vd(values: jnp.ndarray, disp: jnp.ndarray,
                               memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_tvd_high_kernel, passes=high_passes,
-                          base=base, nsb_out=nsb_out),
+                          lwb=wb.bit_length() - 1, nsb_out=nsb_out),
         grid=(blocks, srows // rs2),
-        in_specs=[stripe, stripe],
+        in_specs=[stripe],
         out_specs=stripe_out,
         out_shape=jax.ShapeDtypeStruct((blocks, nsb_out, srows, lanes),
                                        jnp.int16),
         interpret=interpret,
         compiler_params=_VMEM_LIMIT,
-    )(v5, d5)
+    )(p5)
     return out.reshape(blocks, nsb_out * srows, lanes)
 
 
