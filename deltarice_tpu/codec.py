@@ -144,14 +144,20 @@ def _service_hint(counts, nvalid, k: int) -> int | None:
     # lookback window, get lag-flagged, and re-decode exactly (the same
     # guarantee that makes the reduced rate safe at all)
     q99 = float(np.quantile(spw, 0.99))
-    mean = q99 if hi > 2.0 * q99 else hi
-    j = max(2, int(np.ceil(1.3 * mean)) + 1)
-    # round up to a power of two: every distinct J compiles its own
-    # kernel (minutes through a remote-compile relay), so cap the
-    # variant set at {2, 4, 8, 16} while staying within 2x of the
-    # data-optimal service rate
-    j = 1 << (j - 1).bit_length()
-    return j if j < j_max else None
+    need = q99 if hi > 2.0 * q99 else hi
+    # the header means are EXACT totals, so the lag random walk has
+    # positive drift whenever J > need and the lookback window absorbs
+    # its excursions: a thin absolute margin suffices (measured on Nab
+    # walk data, need 5.84: J=6 decodes with zero flags at 1.33x the
+    # full-unroll rate; J=5, below the arrival rate, floods flags).
+    # Every distinct J compiles its own kernel (minutes through a
+    # remote-compile relay), so J rounds up into a short ladder instead
+    # of ranging over all integers.
+    need += 0.15
+    for j in (2, 3, 4, 6, 8, 12):
+        if j >= need:
+            return j if j < j_max else None
+    return None
 
 
 def _decode_device(words: jnp.ndarray, n_samples: int, cfg: RiceConfig,

@@ -115,12 +115,15 @@ def test_service_hint_regimes():
     from deltarice_tpu.codec import _service_hint
 
     nv = np.full(4, 7000)
-    # escape-heavy: ~1.28 starts/word -> tiny service rate (pow2-bucketed
-    # so the set of compiled kernel variants stays {2, 4, 8, 16})
-    assert _service_hint(np.full(4, 5469), nv, 3) == 4
+    # escape-heavy: ~1.28 starts/word -> minimal service rate (ladder-
+    # bucketed {2,3,4,6,8,12} so the compiled variant set stays small)
+    assert _service_hint(np.full(4, 5469), nv, 3) == 2
     # mismatched M=2: ~2.2 starts/word vs bound 16
-    assert _service_hint(np.full(4, 3200), nv, 1) == 4
-    # matched Nab: ~7.4 starts/word vs bound 8 -> exact
+    assert _service_hint(np.full(4, 3200), nv, 1) == 3
+    # matched Nab walk data: ~5.8 starts/word vs bound 8 -> J=6 (the
+    # thin-margin win: exact header means + positive queue drift)
+    assert _service_hint(np.full(4, 1210), nv, 3) == 6
+    # ~7.4 starts/word: no ladder step below the bound -> exact
     assert _service_hint(np.full(4, 940), nv, 3) is None
     # degenerate zero counts don't divide by zero
     assert _service_hint(np.zeros(2), np.full(2, 10), 3) is None
@@ -129,7 +132,7 @@ def test_service_hint_regimes():
     # the lag flags into the exact re-decode
     counts = np.full(1024, 5469)
     counts[:5] = 940  # five dense matched-M segments (~7.4 starts/word)
-    assert _service_hint(counts, np.full(1024, 7000), 3) == 4
+    assert _service_hint(counts, np.full(1024, 7000), 3) == 2
     # ...but when the "outliers" are a third of the batch, the max rules
     counts[:400] = 940
     assert _service_hint(counts, np.full(1024, 7000), 3) is None
