@@ -152,9 +152,9 @@ def _service_hint(counts, nvalid, k: int) -> int | None:
     # full-unroll rate; J=5, below the arrival rate, floods flags).
     # Every distinct J compiles its own kernel (minutes through a
     # remote-compile relay), so J rounds up into a short ladder instead
-    # of ranging over all integers.
+    # of ranging past 8.
     need += 0.15
-    for j in (2, 3, 4, 6, 8, 12):
+    for j in (2, 3, 4, 5, 6, 7, 8, 12):
         if j >= need:
             return j if j < j_max else None
     return None

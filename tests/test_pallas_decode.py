@@ -116,7 +116,7 @@ def test_service_hint_regimes():
 
     nv = np.full(4, 7000)
     # escape-heavy: ~1.28 starts/word -> minimal service rate (ladder-
-    # bucketed {2,3,4,6,8,12} so the compiled variant set stays small)
+    # bucketed {2..8,12} so the compiled variant set stays small)
     assert _service_hint(np.full(4, 5469), nv, 3) == 2
     # mismatched M=2: ~2.2 starts/word vs bound 16
     assert _service_hint(np.full(4, 3200), nv, 1) == 3
