@@ -21,7 +21,14 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RiceConfig
-from ..codec import frame_stream, gather_segments, walk_headers
+from ..codec import (
+    _redecode_bad_rows,
+    _segment_layout,
+    _service_hint,
+    frame_stream,
+    gather_segments,
+    walk_headers,
+)
 from .sharded import (
     CHUNK_AXIS,
     chunk_mesh,
@@ -139,7 +146,7 @@ def decode_chunks_multihost(streams, cfg: RiceConfig,
     total = int(bufs[0][0])
     if any(int(b[0]) != total for b in bufs):
         raise ValueError("multihost decode requires equal-sized chunks")
-    nseg, length, _ = cfg.segments(total)
+    nseg, length, nvalid = _segment_layout(total, cfg)
     per_chunk = [walk_headers(buf, nseg) for buf in bufs]
     maxw = max(int(c.max(initial=0)) for c, _ in per_chunk)
     bucket = -(-(maxw + 1) // 256) * 256
@@ -149,14 +156,30 @@ def decode_chunks_multihost(streams, cfg: RiceConfig,
     words = np.zeros((nchunks + pad, nseg, bucket), dtype=np.uint32)
     for i, (buf, (counts, starts)) in enumerate(zip(bufs, per_chunk)):
         words[i] = gather_segments(buf, counts, starts, bucket)
-    out = decode_chunks_sharded(
-        put_sharded(words, mesh), length, cfg, mesh
+    # size the service rate from the global header stats — the pod read
+    # gets the same ladder speedup as the single-chip path; lag-flagged
+    # segments re-decode exactly on the host after the gather
+    j_eff = _service_hint(
+        np.concatenate([c for c, _ in per_chunk]),
+        np.tile(nvalid, nchunks), cfg.k,
     )
+    res = decode_chunks_sharded(
+        put_sharded(words, mesh), length, cfg, mesh, j_eff=j_eff
+    )
+    out, bad = res if j_eff is not None else (res, None)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
         out = multihost_utils.process_allgather(out, tiled=True)
+        if bad is not None:
+            bad = multihost_utils.process_allgather(bad, tiled=True)
         if jax.process_index() != 0:
             return None
-    out = np.asarray(out).reshape(nchunks + pad, nseg * length)
+    out = np.asarray(out).reshape((nchunks + pad) * nseg, length)
+    if bad is not None:
+        out = _redecode_bad_rows(
+            out, np.asarray(bad).reshape(-1),
+            words.reshape((nchunks + pad) * nseg, bucket), length, cfg,
+        )
+    out = out.reshape(nchunks + pad, nseg * length)
     return out[:nchunks, :total]

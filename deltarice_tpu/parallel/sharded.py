@@ -78,19 +78,33 @@ def _encode_local(x, nvalid, cfg: RiceConfig, max_words: int, method: str):
 
 
 def _decode_local(words, n_samples: int, cfg: RiceConfig,
-                  backend: str = "auto"):
+                  backend: str = "auto", j_eff: int | None = None):
+    """Decode a local (C, S, W) batch. With ``j_eff`` the reduced-service
+    kernel runs and a (C, S) bool lag-flag plane is returned alongside;
+    the host re-decodes flagged segments exactly (same contract as the
+    single-chip :func:`deltarice_tpu.codec._decode_device`)."""
     c, s, w = words.shape
     flat = words.reshape(c * s, w)
     if backend == "pallas":
         from ..ops.unpack_pallas import unpack_decode_pallas
 
-        out = unpack_decode_pallas(flat, n_samples, cfg.k, cfg.is_delta)
+        res = unpack_decode_pallas(flat, n_samples, cfg.k, cfg.is_delta,
+                                   False, j_eff)
+        out, bad = res if isinstance(res, tuple) else (res, None)
         if not cfg.is_delta:
             out = prefilter_decode(out, cfg.filt)
-        return out.reshape(c, s, n_samples)
+        out = out.reshape(c, s, n_samples)
+        if j_eff is not None:
+            if bad is None:
+                bad = jnp.zeros((c * s,), jnp.bool_)
+            return out, bad.reshape(c, s)
+        return out
     u = unpack_bits(flat, n_samples, cfg.k)
     out = prefilter_decode(unzigzag(u), cfg.filt)
-    return out.reshape(c, s, n_samples)
+    out = out.reshape(c, s, n_samples)
+    if j_eff is not None:  # XLA path is exact: nothing ever flags
+        return out, jnp.zeros((c, s), jnp.bool_)
+    return out
 
 
 @functools.partial(
@@ -124,7 +138,8 @@ def encode_chunks_sharded(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_samples", "axis_name", "mesh")
+    jax.jit,
+    static_argnames=("cfg", "n_samples", "axis_name", "mesh", "j_eff"),
 )
 def decode_chunks_sharded(
     words: jnp.ndarray,
@@ -133,15 +148,23 @@ def decode_chunks_sharded(
     mesh: Mesh,
     axis_name: str = CHUNK_AXIS,
     backend: str = "auto",
+    j_eff: int | None = None,
 ):
-    """Decode a (num_chunks, segments, W) uint32 batch sharded over the mesh."""
+    """Decode a (num_chunks, segments, W) uint32 batch sharded over the mesh.
+
+    ``j_eff`` (static; from :func:`deltarice_tpu.codec._service_hint` over
+    the header stats) runs the reduced-service kernel on every device —
+    the multi-chip read path gets the same ladder speedup as the
+    single-chip one. When given, returns ``(samples, lag_flags (C, S))``;
+    the caller re-decodes flagged segments exactly on the host."""
     backend = _resolve(backend, mesh, "pallas", "scan")
     spec = P(axis_name)
+    outs = (spec, spec) if j_eff is not None else spec
     fn = jax.shard_map(
-        lambda w: _decode_local(w, n_samples, cfg, backend),
+        lambda w: _decode_local(w, n_samples, cfg, backend, j_eff),
         mesh=mesh,
         in_specs=(spec,),
-        out_specs=spec,
+        out_specs=outs,
         check_vma=False,
     )
     return fn(words)
