@@ -106,28 +106,43 @@ def _pack_kernel(x_ref, nvalid_ref, prev0_ref, wstage_ref, kstage_ref,
     def group_step(g, carry):
         prev, pos, n, ahi, alo = carry
         row0 = pl.multiple_of(g * gsz, gsz)
-        xg = x_ref[pl.ds(row0, gsz), :]
+        xg = x_ref[pl.ds(row0, gsz), :].astype(jnp.int32)
+        # --- codeword computation, hoisted out of the serial chain:
+        # delta/zigzag/length/value have no cross-sample dependency (the
+        # delta needs only the RAW previous sample, a static row shift),
+        # so they vectorize over the whole group — the per-sample loop
+        # below carries nothing but the bit accumulator.
+        base = c * sc + g * _GROUP
+        gidx_rows = base + jax.lax.broadcasted_iota(
+            jnp.int32, (gsz, _LANES), 0
+        ) // _SB
+        active_g = gidx_rows < pltpu.repeat(nv, _GROUP, 0)
+        if diff:
+            xprev = jnp.concatenate([prev, xg[: gsz - _SB]], axis=0)
+            d = ((xg - xprev) << 16) >> 16  # wrapping int16 difference
+            # carry: the last RAW sample while the lane is active (an
+            # inactive tail never reads it — masked below)
+            prev = jnp.where(
+                base + _GROUP - 1 < nv, xg[gsz - _SB :], prev
+            )
+        else:
+            d = xg
+        u_g = ((d << 1) ^ (d >> 31)).astype(_U32)  # branchless zigzag
+        q_g = (u_g >> k).astype(jnp.int32)
+        esc_g = q_g >= ESCAPE_Q
+        # q+1+k for q<8, 25 = 8+1+16 for the escape
+        clen_g = jnp.where(
+            active_g, jnp.minimum(q_g, 8) + (1 + k)
+            + jnp.where(esc_g, 16 - k, 0), 0
+        )
+        val_g = jnp.where(
+            esc_g, _U32(1 << 16) | u_g, _U32(1 << k) | (u_g & kmask)
+        )
+        val_g = jnp.where(active_g, val_g, _U32(0))
         for tt in range(_GROUP):
-            xi = xg[tt * _SB : (tt + 1) * _SB, :].astype(jnp.int32)
-            gidx = c * sc + g * _GROUP + tt
-            active = gidx < nv
-            if diff:
-                d = ((xi - prev) << 16) >> 16  # wrapping int16 difference
-                prev = jnp.where(active, xi, prev)
-            else:
-                d = xi
-            u = ((d << 1) ^ (d >> 31)).astype(_U32)  # branchless zigzag
-            q = (u >> k).astype(jnp.int32)
-            esc = q >= ESCAPE_Q
-            # q+1+k for q<8, 25 = 8+1+16 for the escape
-            clen = jnp.where(
-                active, jnp.minimum(q, 8) + (1 + k)
-                + jnp.where(esc, 16 - k, 0), 0
-            )
-            val = jnp.where(
-                esc, _U32(1 << 16) | u, _U32(1 << k) | (u & kmask)
-            )
-            val = jnp.where(active, val, _U32(0))
+            clen = clen_g[tt * _SB : (tt + 1) * _SB, :]
+            val = val_g[tt * _SB : (tt + 1) * _SB, :]
+            gidx = base + tt
             # append to the 64-bit window (top-aligned in ahi:alo);
             # o = bits past the hi word; o <= 0 means the codeword fits
             o = pos + clen - 32  # in (-32, 25]
