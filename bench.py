@@ -29,7 +29,9 @@ import jax.numpy as jnp
 
 from deltarice_tpu.codec import (
     _decode_device,
+    _rate_hint,
     _redecode_bad_rows,
+    _reencode_bad_rows,
     _service_hint,
     encode_segments,
 )
@@ -59,10 +61,15 @@ def _timeit(fn, *args, iters: int = 60, sync_cost: float = 0.0):
     _sync(fn(*args))  # warmup/compile
     while True:
         t0 = time.perf_counter()
-        outs = [fn(*args) for _ in range(iters)]
-        _sync(outs[-1])
+        out = None
+        for _ in range(iters):
+            # keep ONE output live: dropping the previous reference lets
+            # completed dispatches free their buffers, so in-flight HBM
+            # stays bounded by queue depth, not by iters
+            out = fn(*args)
+        _sync(out)
         dt = time.perf_counter() - t0
-        del outs
+        del out
         if dt - sync_cost > max(4 * sync_cost, 0.15) or iters >= 2048:
             return max(dt - sync_cost, 1e-9) / iters
         iters *= 4
@@ -125,9 +132,29 @@ def main():
     nvalid = jnp.full((nseg,), length, dtype=jnp.int32)
     max_words = cfg.max_words(length)
 
-    enc = lambda a, b: encode_segments(a, b, cfg, max_words, "auto")
-    t_enc = _timeit(enc, xd, nvalid, sync_cost=sync_cost)
-    words, nwords = enc(xd, nvalid)
+    # encode exactly as the production writer does: emission rate from a
+    # host-side subsample (rate 2 on dense data = one staging slot per
+    # sample pair), overflow flags fetched once per batch —
+    # compress_batch's dispatch/collect split — with flagged segments
+    # re-encoded exactly in the checked pass below
+    rate = _rate_hint(x, cfg)
+    if rate > 1:
+        from deltarice_tpu.ops.pack_pallas import pack_encode_pallas_bits
+
+        enc = lambda a, b: pack_encode_pallas_bits(
+            a, b, cfg.k, max_words, True, None, 2
+        )[:2]
+        t_enc = _timeit(enc, xd, nvalid, sync_cost=sync_cost)
+        words, nwords, _nb, bad = pack_encode_pallas_bits(
+            xd, nvalid, cfg.k, max_words, True, None, 2
+        )
+        words = jnp.asarray(_reencode_bad_rows(
+            np.asarray(words), x, np.asarray(nvalid), bad, cfg, max_words
+        ))
+    else:
+        enc = lambda a, b: encode_segments(a, b, cfg, max_words, "auto")
+        t_enc = _timeit(enc, xd, nvalid, sync_cost=sync_cost)
+        words, nwords = enc(xd, nvalid)
     jax.block_until_ready((words, nwords))
 
     # decode exactly as the production reader does: tighter padded width,

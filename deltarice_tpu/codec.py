@@ -160,6 +160,68 @@ def _service_hint(counts, nvalid, k: int) -> int | None:
     return None
 
 
+def _rate_hint(x: np.ndarray, cfg: RiceConfig) -> int:
+    """Encode emission rate (samples per staging slot) from a host-side
+    subsample — the encode-side mirror of :func:`_service_hint`.
+
+    At rate 2 the pallas encoder stages one slot per sample PAIR (half
+    the staging/placement work); a pair overruns its slot only when its
+    two codewords complete two words, which needs a >= 33-bit span AND
+    an adverse bit phase. The kernel flags overrunning segments and the
+    caller re-encodes them exactly at rate 1 — this hint just keeps the
+    expected flag fraction small. The estimate is a cheap numpy pass on
+    <= 64 rows x 4096 consecutive samples; the phase-averaged
+    double-emit probability per pair is E[max(span-32, 0)]/32.
+    """
+    if not cfg.is_delta or x.ndim != 2 or x.shape[1] < 4:
+        return 1
+    from .ops.pack_pallas import _is_packed
+
+    if not _is_packed(x.shape[1]):
+        return 1
+    rows = x[:: max(1, x.shape[0] // 64)][:64]
+    seg = rows[:, : min(rows.shape[1], 4096)].astype(np.int32)
+    d = seg.copy()
+    d[:, 1:] -= seg[:, :-1]
+    d = (d << 16) >> 16
+    u = (d << 1) ^ (d >> 31)
+    q = u >> cfg.k
+    ln = np.minimum(q, 8) + 1 + cfg.k + np.where(q >= 8, 16 - cfg.k, 0)
+    span = ln[:, :-1] + ln[:, 1:]
+    p = float(np.mean(np.clip(span - 32, 0, 32)) / 32.0)
+    # expected flagged-segment fraction at L/2 pairs per segment;
+    # a flagged segment re-encodes once at rate 1, so the break-even
+    # is where re-encode cost (~flag_frac of a full pass) eats the
+    # halved placement (~20% of encode) — accept up to ~15%
+    return 2 if p * (x.shape[1] / 2.0) <= 0.15 else 1
+
+
+def _reencode_bad_rows(words_np: np.ndarray, x: np.ndarray,
+                       nvalid: np.ndarray, bad, cfg: RiceConfig,
+                       max_words: int) -> np.ndarray:
+    """Exactly re-encode (at rate 1) segments the half-rate encoder
+    flagged, in place — mirror of :func:`_redecode_bad_rows`. Flagged
+    rows are padded to a power-of-two row count to bound compiled
+    shapes. ``words_np`` must be wide enough for every row's true word
+    count (the half-rate kernel's nwords are exact even for flagged
+    rows, so the caller's max-based width already is)."""
+    idx = np.nonzero(np.asarray(bad))[0]
+    if idx.size == 0:
+        return words_np
+    m = 1 << max(3, int(np.ceil(np.log2(idx.size))))
+    xs = np.zeros((m, x.shape[1]), np.int16)
+    xs[: idx.size] = x[idx]
+    nvs = np.zeros(m, np.int32)
+    nvs[: idx.size] = np.asarray(nvalid)[idx]
+    wfix, _nwfix = encode_segments(
+        jnp.asarray(xs), jnp.asarray(nvs), cfg, max_words, "pallas"
+    )
+    if not words_np.flags.writeable:
+        words_np = words_np.copy()
+    words_np[idx] = np.asarray(wfix)[: idx.size, : words_np.shape[1]]
+    return words_np
+
+
 def _decode_device(words: jnp.ndarray, n_samples: int, cfg: RiceConfig,
                    j_eff: int | None, speculate: bool = True):
     """One device decode dispatch; returns (samples, per-segment bad flags
@@ -529,8 +591,23 @@ def compress(data, cfg: RiceConfig = RiceConfig(), method: str = "auto") -> byte
                 np.asarray(words[:, :w]).reshape(nseg, parts, w), nb2
             )
         return frame_stream(total, *res)
+    mw = cfg.max_words(length)
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "segsum"
+    if method == "pallas" and _rate_hint(padded, cfg) == 2:
+        from .ops.pack_pallas import pack_encode_pallas_bits
+
+        words, nwords, _nb, bad = pack_encode_pallas_bits(
+            jnp.asarray(padded), jnp.asarray(nvalid), cfg.k, mw, True,
+            None, 2,
+        )
+        nw = np.asarray(nwords)
+        w = max(int(nw.max(initial=0)), 1)
+        wn = _reencode_bad_rows(np.asarray(words[:, :w]), padded, nvalid,
+                                bad, cfg, mw)
+        return frame_stream(total, wn, nw)
     words, nwords = encode_segments(
-        jnp.asarray(padded), jnp.asarray(nvalid), cfg, cfg.max_words(length), method
+        jnp.asarray(padded), jnp.asarray(nvalid), cfg, mw, method
     )
     # device->host moves ~actual-compressed bytes, not the 25-bit worst
     # case: fetch the (tiny) word counts first, then slice on device
@@ -575,12 +652,12 @@ def compress_batch_dispatch(chunks, cfg: RiceConfig = RiceConfig(),
     """
     arrs = [as_int16(c).ravel() for c in chunks]
     if not arrs:
-        return (arrs, 0, None, None, None, 1)
+        return (arrs, 0, None, None, None, 1, None)
     total = arrs[0].size
     if any(a.size != total for a in arrs):
         raise ValueError("compress_batch requires equal-sized chunks")
     if total == 0:  # header-only streams, matching compress()
-        return (arrs, 0, None, None, None, 1)
+        return (arrs, 0, None, None, None, 1, None)
     nseg, length, nvalid = _segment_layout(total, cfg)
     nchunks = len(arrs)
     padded = np.zeros((nchunks, nseg, length), dtype=np.int16)
@@ -591,20 +668,34 @@ def compress_batch_dispatch(chunks, cfg: RiceConfig = RiceConfig(),
             padded.reshape(nchunks * nseg, length),
             np.tile(nvalid, nchunks), cfg, parts, method,
         )
-        return (arrs, total, words, nwords, nbits, parts)
+        return (arrs, total, words, nwords, nbits, parts, None)
+    x2 = padded.reshape(nchunks * nseg, length)
+    nv = np.tile(nvalid, nchunks)
+    mw = cfg.max_words(length)
+    m = method
+    if m == "auto":
+        m = "pallas" if jax.default_backend() == "tpu" else "segsum"
+    if m == "pallas" and _rate_hint(x2, cfg) == 2:
+        from .ops.pack_pallas import pack_encode_pallas_bits
+
+        words, nwords, _nb, bad = pack_encode_pallas_bits(
+            jnp.asarray(x2), jnp.asarray(nv), cfg.k, mw, True, None, 2
+        )
+        # bad stays on device until collect — the dispatch never syncs,
+        # preserving the window overlap (same contract as decode's lag
+        # flags); collect re-encodes flagged rows exactly
+        return (arrs, total, words, nwords, None, 1, (bad, x2, nv, mw))
     words, nwords = encode_segments(
-        jnp.asarray(padded.reshape(nchunks * nseg, length)),
-        jnp.asarray(np.tile(nvalid, nchunks)),
-        cfg, cfg.max_words(length), method,
+        jnp.asarray(x2), jnp.asarray(nv), cfg, mw, method
     )
-    return (arrs, total, words, nwords, None, 1)
+    return (arrs, total, words, nwords, None, 1, None)
 
 
 def compress_batch_collect(handle, cfg: RiceConfig = RiceConfig(),
                            method: str = "auto", verify: bool = False,
                            retries: int = 2) -> list[bytes]:
     """Fetch + frame the streams of a :func:`compress_batch_dispatch`."""
-    arrs, total, words, nwords, nbits, parts = handle
+    arrs, total, words, nwords, nbits, parts, fix = handle
     if not arrs:
         return []
     if total == 0:
@@ -631,8 +722,12 @@ def compress_batch_collect(handle, cfg: RiceConfig = RiceConfig(),
             frame_stream(total, merged[c], nw[c]) for c in range(nchunks)
         ]
     else:
+        words = np.asarray(words[:, :w])
+        if fix is not None:  # half-rate encode: fix flagged rows exactly
+            bad, x2, nv, mw = fix
+            words = _reencode_bad_rows(words, x2, nv, bad, cfg, mw)
         nwords = nwords.reshape(nchunks, nseg)
-        words = np.asarray(words[:, :w]).reshape(nchunks, nseg, -1)
+        words = words.reshape(nchunks, nseg, -1)
         streams = [
             frame_stream(total, words[c], nwords[c]) for c in range(nchunks)
         ]

@@ -60,8 +60,8 @@ _DEAD = -(1 << 31)   # dead slot marker of the packed concentration planes
 
 
 def _pack_kernel(x_ref, nvalid_ref, prev0_ref, wstage_ref, kstage_ref,
-                 nw_ref, nb_ref, carry_ref, scratch_ref, *, sc: int, k: int,
-                 diff: bool, packed: bool, tail_row: int):
+                 nw_ref, nb_ref, *rest, sc: int, k: int,
+                 diff: bool, packed: bool, tail_row: int, rate: int = 1):
     """One grid step: encode ``sc`` samples of 1024 segments.
 
     x_ref:      (sc*8, 128) int16 — row i*8+s is sample i of group s.
@@ -71,21 +71,41 @@ def _pack_kernel(x_ref, nvalid_ref, prev0_ref, wstage_ref, kstage_ref,
                 long waveform pass the previous sub-block's last sample,
                 which makes the split encode bit-identical to the serial
                 one — the delta recurrence's only cross-block state).
-    wstage_ref: (sc*8, 128) — emitted word of sample slot i (or 0), as
-                uint32; with ``packed``, the int32 concentration LEADER
-                plane ``disp << 16 | word-high-half`` (dead = INT32_MIN).
-    kstage_ref: (sc*8, 128) int32 — word index key (INT32_MAX if no
-                word); with ``packed``, the int16 FOLLOWER plane of raw
-                low halfwords (routed by the leader's bits downstream).
+    wstage_ref: (sc*8//rate, 128) — emitted word of emission slot i (or
+                0), as uint32; with ``packed``, the int32 concentration
+                LEADER plane ``disp << 16 | word-high-half`` (dead =
+                INT32_MIN).
+    kstage_ref: (sc*8//rate, 128) int32 — word index key (INT32_MAX if
+                no word); with ``packed``, the int16 FOLLOWER plane of
+                raw low halfwords (routed by the leader's bits
+                downstream).
     nw_ref:     (8, 128) int32 — total words (written by the last step).
     nb_ref:     (8, 128) int32 — total code BITS (written by the last
                 step); sub-block streams concatenate at bit offsets, so
                 the merge needs exact bit lengths, not word counts.
-    carry_ref:  (40, 128) int32 scratch — prev/pos/n/acc_hi/acc_lo.
-    scratch_ref:(2*GROUP*8, 128) int32 — per-group staging.
+    rest:       [of_ref (8, 128) int32 when rate > 1,] carry_ref
+                ((40|48), 128) int32 scratch (prev/pos/n/acc_hi/acc_lo
+                [/overflow]), scratch_ref (2*GROUP*8//rate, 128) int32
+                per-group staging.
     tail_row:   static staging row (within the last chunk's block) of
-                slot ``length``, where the final partial word lands.
+                the tail emission slot, where the final partial word
+                lands.
+    rate:       samples per emission slot. 1 = classic (a codeword
+                completes at most one word, so each sample owns a slot).
+                2 = HALF-RATE: a slot per sample PAIR — valid whenever
+                no pair completes two words (codeword pairs spanning
+                >= 33 bits with the worst bit phase); a double-emit
+                sets the segment's overflow flag and the caller
+                re-encodes that segment at rate 1, exactly (the same
+                speculate/flag/re-do contract as the decode service
+                rate). Dense physics data double-emits only on adjacent
+                near-escapes, so halving the staging/placement is ~free.
     """
+    if rate > 1:
+        of_ref, carry_ref, scratch_ref = rest
+    else:
+        of_ref = None
+        carry_ref, scratch_ref = rest
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -98,13 +118,18 @@ def _pack_kernel(x_ref, nvalid_ref, prev0_ref, wstage_ref, kstage_ref,
     n = carry_ref[16:24, :]
     ahi = carry_ref[24:32, :].astype(_U32)
     alo = carry_ref[32:40, :].astype(_U32)
+    oflag = carry_ref[40:48, :] if rate > 1 else None
     nv = nvalid_ref[:, :]
 
     gsz = _GROUP * _SB
     kmask = _U32((1 << k) - 1)
 
     def group_step(g, carry):
-        prev, pos, n, ahi, alo = carry
+        if rate > 1:
+            prev, pos, n, ahi, alo, ofl = carry
+        else:
+            prev, pos, n, ahi, alo = carry
+            ofl = None
         row0 = pl.multiple_of(g * gsz, gsz)
         xg = x_ref[pl.ds(row0, gsz), :].astype(jnp.int32)
         # --- codeword computation, hoisted out of the serial chain:
@@ -139,6 +164,8 @@ def _pack_kernel(x_ref, nvalid_ref, prev0_ref, wstage_ref, kstage_ref,
             esc_g, _U32(1 << 16) | u_g, _U32(1 << k) | (u_g & kmask)
         )
         val_g = jnp.where(active_g, val_g, _U32(0))
+        hsz = gsz // rate
+        pend_lead = pend_fol = pend_emit = None
         for tt in range(_GROUP):
             clen = clen_g[tt * _SB : (tt + 1) * _SB, :]
             val = val_g[tt * _SB : (tt + 1) * _SB, :]
@@ -155,7 +182,28 @@ def _pack_kernel(x_ref, nvalid_ref, prev0_ref, wstage_ref, kstage_ref,
             alo = alo | lo_add
             pos = pos + clen
             emit = pos >= 32
-            if packed:
+            if packed and rate > 1:
+                # HALF-RATE emission: slot = sample pair. The pair's
+                # word (at most one unless flagged) merges in registers;
+                # the loser of a double-emit is garbage, but the segment
+                # is flagged and re-encoded at rate 1, exactly.
+                disp = ((gidx >> 1) - n) << 16
+                wi = ahi.astype(jnp.int32)
+                lead = jnp.where(emit, disp | ((wi >> 16) & 0xFFFF), _DEAD)
+                fol = wi & 0xFFFF
+                if tt % 2 == 0:
+                    pend_lead, pend_fol, pend_emit = lead, fol, emit
+                else:
+                    h = tt // 2
+                    scratch_ref[h * _SB : (h + 1) * _SB, :] = jnp.where(
+                        emit, lead, pend_lead
+                    )
+                    scratch_ref[(_GROUP // 2 + h) * _SB
+                                : (_GROUP // 2 + h + 1) * _SB, :] = (
+                        jnp.where(emit, fol, pend_fol)
+                    )
+                    ofl = ofl | (emit & pend_emit).astype(jnp.int32)
+            elif packed:
                 # leader plane: disp + high halfword; follower plane:
                 # pure low halfword (the concentration routes it by the
                 # leader's bits, so the displacement is stored ONCE and
@@ -179,22 +227,29 @@ def _pack_kernel(x_ref, nvalid_ref, prev0_ref, wstage_ref, kstage_ref,
             alo = jnp.where(emit, _U32(0), alo)
             pos = jnp.where(emit, pos - 32, pos)
             n = n + emit.astype(jnp.int32)
-        wstage_ref[pl.ds(row0, gsz), :] = scratch_ref[0:gsz, :].astype(
-            wstage_ref.dtype
-        )
-        kstage_ref[pl.ds(row0, gsz), :] = scratch_ref[
-            gsz : 2 * gsz, :
+        row0h = pl.multiple_of(g * hsz, hsz)
+        wstage_ref[pl.ds(row0h, hsz), :] = scratch_ref[
+            0:hsz, :
+        ].astype(wstage_ref.dtype)
+        kstage_ref[pl.ds(row0h, hsz), :] = scratch_ref[
+            hsz : 2 * hsz, :
         ].astype(kstage_ref.dtype)
+        if rate > 1:
+            return prev, pos, n, ahi, alo, ofl
         return prev, pos, n, ahi, alo
 
-    prev, pos, n, ahi, alo = jax.lax.fori_loop(
-        0, sc // _GROUP, group_step, (prev, pos, n, ahi, alo)
-    )
+    init = (prev, pos, n, ahi, alo)
+    if rate > 1:
+        init = init + (oflag,)
+    out_carry = jax.lax.fori_loop(0, sc // _GROUP, group_step, init)
+    prev, pos, n, ahi, alo = out_carry[:5]
     carry_ref[0:8, :] = prev
     carry_ref[8:16, :] = pos
     carry_ref[16:24, :] = n
     carry_ref[24:32, :] = ahi.astype(jnp.int32)
     carry_ref[32:40, :] = alo.astype(jnp.int32)
+    if rate > 1:
+        carry_ref[40:48, :] = out_carry[5]
 
     # tail flush: slot ``length`` is inactive for every segment (lp >
     # length by construction), so the final partial word takes it over
@@ -202,8 +257,10 @@ def _pack_kernel(x_ref, nvalid_ref, prev0_ref, wstage_ref, kstage_ref,
     def _():
         has_tail = pos > 0
         nb_ref[:, :] = n * 32 + pos
+        if rate > 1:
+            of_ref[:, :] = carry_ref[40:48, :]
         if packed:
-            dispt = ((c * sc + tail_row // _SB) - n) << 16
+            dispt = ((c * (sc // rate) + tail_row // _SB) - n) << 16
             wi = ahi.astype(jnp.int32)
             wstage_ref[tail_row : tail_row + _SB, :] = jnp.where(
                 has_tail, dispt | ((wi >> 16) & 0xFFFF), _DEAD
@@ -234,16 +291,26 @@ def pack_encode_pallas(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
     return words, nwords
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 6))
 def pack_encode_pallas_bits(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
-                            max_words: int, diff: bool = True, prev0=None):
+                            max_words: int, diff: bool = True, prev0=None,
+                            rate: int = 1):
     """:func:`pack_encode_pallas` plus exact per-stream bit counts and an
     initial delta state — the extras sub-block-split encoding of long
     waveforms needs (streams merge at bit offsets; each sub-block's delta
     chain continues from the previous one's last sample).
-    Returns (words (S, max_words) uint32, nwords (S,), nbits (S,)).
+    Returns (words (S, max_words) uint32, nwords (S,), nbits (S,)); with
+    ``rate`` > 1 (half-rate emission, packed-only) additionally returns
+    the (S,) bool overflow flags — flagged rows' words/planes are
+    garbage and must be re-encoded at rate 1 (nwords/nbits stay exact).
     """
     packed = _is_packed(x.shape[1])
+    if rate > 1:
+        wstage, kstage, nwords, nbits, bad = _encode_kernel_program(
+            x, nvalid, k, diff, prev0, rate=rate
+        )
+        words = _placement(wstage, kstage, max_words, packed)
+        return words, nwords, nbits, bad
     if packed and _TILED_FORCE:
         from .concentrate_pallas import concentrate_tiled
         from .unpack_pallas import untile_rows
@@ -275,9 +342,10 @@ def _is_packed(length: int) -> bool:
     return (length // _CHUNK + 1) * _CHUNK < (1 << 15)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 5, 6))
 def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
-                           diff: bool, prev0=None, tiled: bool = False):
+                           diff: bool, prev0=None, tiled: bool = False,
+                           rate: int = 1):
     from .transpose_pallas import transpose2d
 
     nseg, length = x.shape
@@ -285,10 +353,13 @@ def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
     blocks = -(-nseg // bseg)
     sc = _CHUNK
     # always leave >= 1 inactive slot so the tail flush has a home at
-    # slot ``length`` (adds one whole chunk when length is chunk-aligned)
+    # the tail slot (adds one whole chunk when length is chunk-aligned)
     n_chunks = length // sc + 1
     lp = n_chunks * sc
     packed = _is_packed(length)
+    if rate > 1:
+        assert packed and not tiled, "half-rate emission is packed-only"
+        assert sc % rate == 0 and _GROUP % rate == 0
     x = jnp.pad(x, ((0, blocks * bseg - nseg), (0, lp - length)))
     nv = jnp.pad(nvalid.astype(jnp.int32), (0, blocks * bseg - nseg))
     if prev0 is None:
@@ -301,50 +372,55 @@ def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
     nv3 = nv.reshape(blocks, _SB, _LANES)
     p03 = p0.reshape(blocks, _SB, _LANES)
 
-    tail_row = (length - (n_chunks - 1) * sc) * _SB
+    # tail slot: the first emission slot covering only samples >= length
+    # (at rate 2 an odd length's last sample shares slot (length-1)//2,
+    # so the tail home is ceil((length+1)/2) = (length+1)//2)
+    tail_slot = (length + rate - 1) // rate
+    tail_row = (tail_slot - (n_chunks - 1) * (sc // rate)) * _SB
     kern = functools.partial(
         _pack_kernel, sc=sc, k=k, diff=diff, packed=packed,
-        tail_row=tail_row,
+        tail_row=tail_row, rate=rate,
     )
     gsz = _GROUP * _SB
+    small = pl.BlockSpec((None, _SB, _LANES), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    stage = pl.BlockSpec((None, sc * _SB // rate, _LANES),
+                         lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM)
+    out_specs = [stage, stage, small, small]
+    out_shape = [
+        jax.ShapeDtypeStruct(
+            (blocks, lp * _SB // rate, _LANES),
+            jnp.int32 if packed else jnp.uint32,
+        ),
+        # packed: follower plane is pure int16 low halfwords
+        jax.ShapeDtypeStruct((blocks, lp * _SB // rate, _LANES),
+                             jnp.int16 if packed else jnp.int32),
+        jax.ShapeDtypeStruct((blocks, _SB, _LANES), jnp.int32),
+        jax.ShapeDtypeStruct((blocks, _SB, _LANES), jnp.int32),
+    ]
+    if rate > 1:
+        out_specs.append(small)
+        out_shape.append(
+            jax.ShapeDtypeStruct((blocks, _SB, _LANES), jnp.int32)
+        )
     out = pl.pallas_call(
         kern,
         grid=(blocks, n_chunks),
         in_specs=[
             pl.BlockSpec((None, sc * _SB, _LANES), lambda b, c: (b, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, _SB, _LANES), lambda b, c: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, _SB, _LANES), lambda b, c: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            small,
+            small,
         ],
-        out_specs=[
-            pl.BlockSpec((None, sc * _SB, _LANES), lambda b, c: (b, c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, sc * _SB, _LANES), lambda b, c: (b, c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, _SB, _LANES), lambda b, c: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, _SB, _LANES), lambda b, c: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct(
-                (blocks, lp * _SB, _LANES),
-                jnp.int32 if packed else jnp.uint32,
-            ),
-            # packed: follower plane is pure int16 low halfwords
-            jax.ShapeDtypeStruct((blocks, lp * _SB, _LANES),
-                                 jnp.int16 if packed else jnp.int32),
-            jax.ShapeDtypeStruct((blocks, _SB, _LANES), jnp.int32),
-            jax.ShapeDtypeStruct((blocks, _SB, _LANES), jnp.int32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((40, _LANES), jnp.int32),
-            pltpu.VMEM((2 * gsz, _LANES), jnp.int32),
+            pltpu.VMEM((48 if rate > 1 else 40, _LANES), jnp.int32),
+            pltpu.VMEM((2 * gsz // rate, _LANES), jnp.int32),
         ],
     )(xt, nv3, p03)
-    wstage, kstage, nw, nb = out
+    wstage, kstage, nw, nb = out[:4]
 
     def untile(a):
         rows = a.shape[1] // _SB
@@ -356,6 +432,9 @@ def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
         kstage = untile(kstage)
     nw = nw.reshape(blocks * bseg)[:nseg]
     nb = nb.reshape(blocks * bseg)[:nseg]
+    if rate > 1:
+        bad = out[4].reshape(blocks * bseg)[:nseg] != 0
+        return wstage, kstage, nw, nb, bad
     return wstage, kstage, nw, nb
 
 

@@ -89,3 +89,85 @@ def test_roundtrip_through_both_kernels():
     np.testing.assert_array_equal(out, x)
     # and the bytes are identical to the XLA path's bytes
     assert blob == drt.compress(x, cfg, method="segsum")
+
+
+# --- half-rate emission (rate=2): slot per sample pair ------------------
+
+def _halfrate_roundtrip(x, nvalid, cfg):
+    """Encode at rate 2, re-encode flagged rows exactly, and compare the
+    framed bytes to the XLA oracle's. Returns the flag count."""
+    from deltarice_tpu.codec import (
+        _reencode_bad_rows, frame_stream)
+    from deltarice_tpu.ops.pack_pallas import pack_encode_pallas_bits
+
+    mw = cfg.max_words(x.shape[1])
+    w2, nw2, _nb, bad = pack_encode_pallas_bits(
+        jnp.asarray(x), jnp.asarray(nvalid), cfg.k, mw, True, None, 2
+    )
+    nwn = np.asarray(nw2)
+    wn = _reencode_bad_rows(np.asarray(w2), x, nvalid, bad, cfg, mw)
+    w_x, n_x, _ = _encode_segments_xla(
+        jnp.asarray(x), jnp.asarray(nvalid), cfg, mw, "segsum"
+    )
+    np.testing.assert_array_equal(nwn, np.asarray(n_x))
+    np.testing.assert_array_equal(wn, np.asarray(w_x))
+    return int(np.asarray(bad).sum())
+
+
+@tpu_only
+def test_halfrate_dense_walk_bytes_exact():
+    """Dense walk data: few pairs double-emit; flagged rows re-encode and
+    the result is byte-identical to the full-rate stream."""
+    rng = np.random.default_rng(21)
+    x = np.round(np.cumsum(rng.normal(0, 10, (64, 1000)), axis=-1)).astype(
+        np.int16
+    )
+    nflag = _halfrate_roundtrip(x, np.full(64, 1000, np.int32),
+                                RiceConfig(8, 1000))
+    assert nflag < 32, f"dense data should rarely flag, got {nflag}/64"
+
+
+@tpu_only
+def test_halfrate_double_emit_flags_and_recovers():
+    """Adjacent near-escape codewords force pairs to complete two words:
+    the kernel must flag those segments (their staging is garbage) and
+    the exact re-encode must restore byte equality."""
+    rng = np.random.default_rng(22)
+    x = np.round(np.cumsum(rng.normal(0, 10, (16, 1000)), axis=-1)).astype(
+        np.int16
+    )
+    x[:8, 100::2] = 32000  # giant alternating deltas in half the rows
+    x[:8, 101::2] = -32000
+    nflag = _halfrate_roundtrip(x, np.full(16, 1000, np.int32),
+                                RiceConfig(8, 1000))
+    assert nflag >= 8, f"hostile rows must flag, got {nflag}"
+
+
+@tpu_only
+def test_halfrate_odd_length_and_short_segments():
+    """Odd lengths share the last sample's pair slot with the tail home
+    calculation; short nvalid freezes mid-pair."""
+    rng = np.random.default_rng(23)
+    x = np.round(np.cumsum(rng.normal(0, 10, (12, 777)), axis=-1)).astype(
+        np.int16
+    )
+    nv = np.full(12, 777, np.int32)
+    nv[5:] = [776, 775, 400, 401, 3, 1, 0]
+    _halfrate_roundtrip(x, nv, RiceConfig(8, 777))
+
+
+def test_rate_hint_regimes():
+    """Host-side emission-rate estimate: dense walks get rate 2, escape-
+    heavy/uniform data and non-delta filters stay at rate 1."""
+    from deltarice_tpu.codec import _rate_hint
+
+    rng = np.random.default_rng(24)
+    dense = np.round(
+        np.cumsum(rng.normal(0, 10, (32, 7000)), axis=-1)
+    ).astype(np.int16)
+    assert _rate_hint(dense, RiceConfig(8, 7000)) == 2
+    uniform = rng.integers(-32768, 32768, (32, 7000)).astype(np.int16)
+    assert _rate_hint(uniform, RiceConfig(8, 7000)) == 1
+    # non-delta filters aren't estimated
+    fir = RiceConfig(8, 7000, filt=(1, -2, 1))
+    assert _rate_hint(dense, fir) == 1
