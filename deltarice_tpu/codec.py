@@ -160,7 +160,8 @@ def _service_hint(counts, nvalid, k: int) -> int | None:
     return None
 
 
-def _rate_hint(x: np.ndarray, cfg: RiceConfig) -> int:
+def _rate_hint(x: np.ndarray, cfg: RiceConfig,
+               sub_length: int | None = None) -> int:
     """Encode emission rate (samples per staging slot) from a host-side
     subsample — the encode-side mirror of :func:`_service_hint`.
 
@@ -177,7 +178,10 @@ def _rate_hint(x: np.ndarray, cfg: RiceConfig) -> int:
         return 1
     from .ops.pack_pallas import _is_packed
 
-    if not _is_packed(x.shape[1]):
+    # the packed-eligibility check applies to the ENCODED row length —
+    # sub-block-split callers pass their sub length while estimating on
+    # the full-length rows (same sample distribution)
+    if not _is_packed(sub_length if sub_length else x.shape[1]):
         return 1
     rows = x[:: max(1, x.shape[0] // 64)][:64]
     seg = rows[:, : min(rows.shape[1], 4096)].astype(np.int32)
@@ -189,11 +193,14 @@ def _rate_hint(x: np.ndarray, cfg: RiceConfig) -> int:
     ln = np.minimum(q, 8) + 1 + cfg.k + np.where(q >= 8, 16 - cfg.k, 0)
     span = ln[:, :-1] + ln[:, 1:]
     p = float(np.mean(np.clip(span - 32, 0, 32)) / 32.0)
-    # expected flagged-segment fraction at L/2 pairs per segment;
+    # expected flagged-ROW fraction at (encoded row length)/2 pairs
+    # — the flag/re-encode unit is the encoded row, i.e. the
+    # sub-stream for split callers;
     # a flagged segment re-encodes once at rate 1, so the break-even
     # is where re-encode cost (~flag_frac of a full pass) eats the
     # halved placement (~20% of encode) — accept up to ~15%
-    return 2 if p * (x.shape[1] / 2.0) <= 0.15 else 1
+    enc_len = sub_length if sub_length else x.shape[1]
+    return 2 if p * (enc_len / 2.0) <= 0.15 else 1
 
 
 def _reencode_bad_rows(words_np: np.ndarray, x: np.ndarray,
@@ -220,6 +227,33 @@ def _reencode_bad_rows(words_np: np.ndarray, x: np.ndarray,
         words_np = words_np.copy()
     words_np[idx] = np.asarray(wfix)[: idx.size, : words_np.shape[1]]
     return words_np
+
+
+def _reencode_bad_rows_device(words, xs: np.ndarray, nv: np.ndarray,
+                              bad, cfg: RiceConfig, max_words: int,
+                              p0: np.ndarray | None = None):
+    """Device-resident variant of :func:`_reencode_bad_rows` for the
+    split-encode path: flagged sub-streams re-encode at rate 1 (with
+    their delta seeds) and scatter back into the device words array —
+    no full-array host round trip."""
+    idx = np.nonzero(np.asarray(bad))[0]
+    if idx.size == 0:
+        return words
+    m = 1 << max(3, int(np.ceil(np.log2(idx.size))))
+    xs2 = np.zeros((m, xs.shape[1]), np.int16)
+    xs2[: idx.size] = xs[idx]
+    nv2 = np.zeros(m, np.int32)
+    nv2[: idx.size] = np.asarray(nv)[idx]
+    p02 = np.zeros(m, np.int32)
+    if p0 is not None:
+        p02[: idx.size] = np.asarray(p0)[idx]
+    wfix, _nw, _nb = encode_segments_bits(
+        jnp.asarray(xs2), jnp.asarray(nv2), cfg, max_words, "pallas",
+        jnp.asarray(p02),
+    )
+    return words.at[jnp.asarray(idx)].set(
+        wfix[: idx.size, : words.shape[1]]
+    )
 
 
 def _decode_device(words: jnp.ndarray, n_samples: int, cfg: RiceConfig,
@@ -371,16 +405,30 @@ def _split_layout(padded: np.ndarray, nvalid: np.ndarray, parts: int,
 
 
 def _encode_split_rows(padded2d: np.ndarray, nvalid_rows: np.ndarray,
-                       cfg: RiceConfig, parts: int, method: str):
+                       cfg: RiceConfig, parts: int, method: str,
+                       rate: int = 1):
     """Sub-block-split encode of (rows, L): returns (words, nwords,
-    nbits, sub_length). Delta seeds each block with its predecessor's
-    last sample; generic FIR filters each block over a (ntaps-1)-sample
-    halo of preceding raw samples — both reproduce the serial filter
-    outputs exactly, so the merged stream is byte-identical."""
+    nbits, sub_length, fix). Delta seeds each block with its
+    predecessor's last sample; generic FIR filters each block over a
+    (ntaps-1)-sample halo of preceding raw samples — both reproduce the
+    serial filter outputs exactly, so the merged stream is byte-
+    identical. With ``rate`` 2 (delta only) the half-rate emission runs
+    and ``fix`` carries (bad, xs, nv, p0, max_words) — callers apply
+    :func:`_reencode_bad_rows_device` BEFORE the sub-stream merge; the
+    flags stay on device until then, so the dispatch never syncs."""
     if cfg.is_delta:
         xs, nv, p0, ls = _split_layout(padded2d, nvalid_rows, parts)
+        mw = cfg.max_words(ls)
+        if rate == 2:
+            from .ops.pack_pallas import pack_encode_pallas_bits
+
+            w, nw, nb, bad = pack_encode_pallas_bits(
+                jnp.asarray(xs), jnp.asarray(nv), cfg.k, mw, True,
+                jnp.asarray(p0), 2,
+            )
+            return w, nw, nb, ls, (bad, xs, nv, p0, mw)
         w, nw, nb = encode_segments_bits(
-            jnp.asarray(xs), jnp.asarray(nv), cfg, cfg.max_words(ls),
+            jnp.asarray(xs), jnp.asarray(nv), cfg, mw,
             method, jnp.asarray(p0),
         )
     else:
@@ -391,7 +439,7 @@ def _encode_split_rows(padded2d: np.ndarray, nvalid_rows: np.ndarray,
             d, jnp.asarray(nv), cfg, cfg.max_words(ls), method,
             prefiltered=True,
         )
-    return w, nw, nb, ls
+    return w, nw, nb, ls, None
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
@@ -577,9 +625,18 @@ def compress(data, cfg: RiceConfig = RiceConfig(), method: str = "auto") -> byte
     padded.ravel()[:total] = x
     parts = _split_parts(nseg, length, cfg)
     if parts > 1:
-        words, nwords, nbits, _ls = _encode_split_rows(
-            padded, nvalid, cfg, parts, method
+        rate = 1
+        if (method in ("auto", "pallas")
+                and jax.default_backend() == "tpu"):
+            ls = _split_layout(padded[:1], nvalid[:1], parts)[3]
+            rate = _rate_hint(padded, cfg, ls)
+        words, nwords, nbits, _ls, sfix = _encode_split_rows(
+            padded, nvalid, cfg, parts, method, rate
         )
+        if sfix is not None:
+            bad, xs, nvs, p0, mws = sfix
+            words = _reencode_bad_rows_device(words, xs, nvs, bad, cfg,
+                                              mws, p0)
         nb2 = np.asarray(nbits).reshape(nseg, parts)
         res = None
         if jax.default_backend() == "tpu":
@@ -664,11 +721,17 @@ def compress_batch_dispatch(chunks, cfg: RiceConfig = RiceConfig(),
     padded.reshape(nchunks, -1)[:, :total] = np.stack(arrs)
     parts = _split_parts(nseg, length, cfg)
     if parts > 1:
-        words, nwords, nbits, _ls = _encode_split_rows(
-            padded.reshape(nchunks * nseg, length),
-            np.tile(nvalid, nchunks), cfg, parts, method,
+        rows2 = padded.reshape(nchunks * nseg, length)
+        nv2 = np.tile(nvalid, nchunks)
+        rate = 1
+        if (method in ("auto", "pallas")
+                and jax.default_backend() == "tpu"):
+            ls = _split_layout(rows2[:1], nv2[:1], parts)[3]
+            rate = _rate_hint(rows2, cfg, ls)
+        words, nwords, nbits, _ls, sfix = _encode_split_rows(
+            rows2, nv2, cfg, parts, method, rate
         )
-        return (arrs, total, words, nwords, nbits, parts, None)
+        return (arrs, total, words, nwords, nbits, parts, sfix)
     x2 = padded.reshape(nchunks * nseg, length)
     nv = np.tile(nvalid, nchunks)
     mw = cfg.max_words(length)
@@ -706,6 +769,10 @@ def compress_batch_collect(handle, cfg: RiceConfig = RiceConfig(),
     nwords = np.asarray(nwords)
     w = max(int(nwords.max(initial=0)), 1)
     if parts > 1:
+        if fix is not None:  # half-rate split: fix sub-streams pre-merge
+            bad, xs, nv, p0, mw = fix
+            words = _reencode_bad_rows_device(words, xs, nv, bad, cfg,
+                                              mw, p0)
         nb2 = np.asarray(nbits).reshape(nchunks * nseg, parts)
         res = None
         if jax.default_backend() == "tpu":

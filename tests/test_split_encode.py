@@ -171,3 +171,34 @@ def test_device_merge_matches_host(rows, parts, w, seed):
     maxw = int(nw.max())
     np.testing.assert_array_equal(got[:, :maxw], exp[:, :maxw])
     assert not got[:, maxw:].any()
+
+
+@pytest.mark.skipif(jnp.zeros(1).devices().pop().platform != "tpu",
+                    reason="needs a TPU for the Mosaic kernel")
+def test_split_halfrate_with_flagged_substreams():
+    """Half-rate split encode: a few rows carry adjacent near-escapes
+    (their sub-streams double-emit and flag) inside an otherwise dense
+    long-segment batch — the pre-merge device re-encode must restore
+    byte equality with the serial stream."""
+    import deltarice_tpu as drt
+    from deltarice_tpu.codec import _rate_hint, _split_layout, _split_parts
+
+    rng = np.random.default_rng(31)
+    length = 24000
+    x = np.round(np.cumsum(rng.normal(0, 6, (32, length)), axis=-1)).astype(
+        np.int16
+    )
+    x[3, 5000:5200:2] = 32000   # double-emit pairs in two rows
+    x[3, 5001:5201:2] = -32000
+    x[17, 9000:9100:2] = 31000
+    x[17, 9001:9101:2] = -31000
+    cfg = drt.RiceConfig(8, length)
+    parts = _split_parts(32, length, cfg)
+    assert parts > 1, "case must take the split path"
+    ls = _split_layout(x[:1], np.full(1, length, np.int32), parts)[3]
+    assert _rate_hint(x, cfg, ls) == 2, "dense batch must pick rate 2"
+    blob = drt.compress(x, cfg, method="pallas")
+    assert blob == drt.compress(x, cfg, method="segsum")
+    np.testing.assert_array_equal(
+        drt.decompress(blob, cfg).reshape(32, length), x
+    )

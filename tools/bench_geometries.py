@@ -23,7 +23,9 @@ import jax.numpy as jnp
 
 from deltarice_tpu.codec import (
     _decode_device,
+    _rate_hint,
     _redecode_bad_rows,
+    _reencode_bad_rows,
     _service_hint,
     _split_layout,
     _split_parts,
@@ -79,10 +81,24 @@ def bench_config(name: str, x: np.ndarray, cfg: RiceConfig, iters: int,
                                        parts)
         xd, nvd, p0d = jnp.asarray(xs), jnp.asarray(nv), jnp.asarray(p0)
         mw = cfg.max_words(ls)
-        enc_d = lambda: encode_segments_bits(xd, nvd, cfg, mw, "pallas",
-                                             p0d)
-        t_enc = _timeit(enc_d, iters=iters, sync_cost=sync_cost)
-        wsub, nwsub, nbits = enc_d()
+        rate = _rate_hint(x, cfg, ls)
+        if rate == 2:
+            from deltarice_tpu.codec import _reencode_bad_rows_device
+            from deltarice_tpu.ops.pack_pallas import (
+                pack_encode_pallas_bits)
+
+            enc_d = lambda: pack_encode_pallas_bits(
+                xd, nvd, cfg.k, mw, True, p0d, 2)[:3]
+            t_enc = _timeit(enc_d, iters=iters, sync_cost=sync_cost)
+            wsub, nwsub, nbits, bad = pack_encode_pallas_bits(
+                xd, nvd, cfg.k, mw, True, p0d, 2)
+            wsub = _reencode_bad_rows_device(wsub, xs, nv, bad, cfg, mw,
+                                             p0)
+        else:
+            enc_d = lambda: encode_segments_bits(xd, nvd, cfg, mw,
+                                                 "pallas", p0d)
+            t_enc = _timeit(enc_d, iters=iters, sync_cost=sync_cost)
+            wsub, nwsub, nbits = enc_d()
         nb2 = np.asarray(nbits).reshape(nseg, parts)
         total_bits = nb2.sum(axis=1)
         nwords = (total_bits + 31) >> 5
@@ -99,9 +115,24 @@ def bench_config(name: str, x: np.ndarray, cfg: RiceConfig, iters: int,
         xd = jnp.asarray(x)
         nvalid = jnp.full((nseg,), length, dtype=jnp.int32)
         max_words = cfg.max_words(length)
-        enc = lambda: encode_segments(xd, nvalid, cfg, max_words, "pallas")
-        t_enc = _timeit(enc, iters=iters, sync_cost=sync_cost)
-        words, nwords = enc()
+        rate = _rate_hint(x, cfg)
+        if rate == 2:  # production write path: half-rate + flag fix
+            from deltarice_tpu.ops.pack_pallas import (
+                pack_encode_pallas_bits)
+
+            enc = lambda: pack_encode_pallas_bits(
+                xd, nvalid, cfg.k, max_words, True, None, 2)[:2]
+            t_enc = _timeit(enc, iters=iters, sync_cost=sync_cost)
+            words, nwords, _nb, bad = pack_encode_pallas_bits(
+                xd, nvalid, cfg.k, max_words, True, None, 2)
+            words = jnp.asarray(_reencode_bad_rows(
+                np.asarray(words), x, np.full(nseg, length, np.int32),
+                bad, cfg, max_words))
+        else:
+            enc = lambda: encode_segments(xd, nvalid, cfg, max_words,
+                                          "pallas")
+            t_enc = _timeit(enc, iters=iters, sync_cost=sync_cost)
+            words, nwords = enc()
     nvalid = np.full((nseg,), length, dtype=np.int32)
     counts = np.asarray(nwords)
     w = int(counts.max()) + 1
