@@ -8,7 +8,8 @@ family's compressed-size ratio matches the published one: Nab lands at
 exception — with M=16 every codeword is at least k+1 = 5 bits, so no
 int16 input can compress below 5/16 = 31.25%; the published 27% is
 unreachable at these cd_values and the generator sits just above that
-floor (~0.32). Good for benchmarking, not physics.
+floor (measured 0.317 at sigma=4.0, pulses included). Good for
+benchmarking, not physics.
 """
 
 from __future__ import annotations

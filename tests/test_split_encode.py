@@ -175,6 +175,7 @@ def test_device_merge_matches_host(rows, parts, w, seed):
 
 @pytest.mark.skipif(jnp.zeros(1).devices().pop().platform != "tpu",
                     reason="needs a TPU for the Mosaic kernel")
+@pytest.mark.slow
 def test_split_halfrate_with_flagged_substreams():
     """Half-rate split encode: a few rows carry adjacent near-escapes
     (their sub-streams double-emit and flag) inside an otherwise dense

@@ -188,7 +188,12 @@ CONFIGS = {
     # batch up to >=1024 segments so the kernels' lane grid stays full
     "nab": lambda: (make_data("walk", (1024, 7000), 10.0),
                     RiceConfig(8, 7000)),
-    "nedm": lambda: (make_data("walk", (1024, 81920), 16.0),
+    # sigma matches models/profiles.py's nEDM profile: at M=16 the
+    # measured ratio lands ~0.316, just above the 5/16 = 0.3125 floor
+    # every int16 input has at these cd_values (the published 27% is
+    # unreachable; see profiles.py docstring). sigma=16 (round 1-4)
+    # drifted to 0.383 and misstated the size story.
+    "nedm": lambda: (make_data("walk", (1024, 81920), 4.0),
                      RiceConfig(16, 81920)),
     "noptrex": lambda: (make_data("walk", (256, 500000), 8.0),
                         RiceConfig(8, 500000)),
