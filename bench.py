@@ -33,6 +33,7 @@ from deltarice_tpu.codec import (
     _redecode_bad_rows,
     _reencode_bad_rows,
     _service_hint,
+    _words_hint,
     encode_segments,
 )
 from deltarice_tpu.config import RiceConfig
@@ -118,7 +119,9 @@ def main():
         print(json.dumps(bench_file.run(mb=mb, geom=geom)))
         return
 
-    nseg, length = 1024, 7000  # ~14.3 MB of int16 per batch
+    nseg, length = 2048, 7000  # ~29 MB of int16 per batch: large enough
+    # that per-dispatch submission cost through the dev relay (which
+    # varies ~0.3-0.8 ms by the hour) stays well under the device time
     cfg = RiceConfig(8, length)
     rng = np.random.default_rng(0)
     x = np.cumsum(
@@ -132,39 +135,52 @@ def main():
     nvalid = jnp.full((nseg,), length, dtype=jnp.int32)
     max_words = cfg.max_words(length)
 
-    # encode exactly as the production writer does: emission rate from a
-    # host-side subsample (rate 2 on dense data = one staging slot per
-    # sample pair), overflow flags fetched once per batch —
-    # compress_batch's dispatch/collect split — with flagged segments
-    # re-encoded exactly in the checked pass below
+    # encode exactly as the production writer does: emission rate and
+    # placement-width cap from a host-side subsample (rate 2 on dense
+    # data = one staging slot per sample pair; the cap shrinks the
+    # placement concentration's static output to ~the data's compressed
+    # size instead of the 25-bit worst case), overflow flags fetched
+    # once per batch — compress_batch's dispatch/collect split — with
+    # flagged/over-cap segments re-encoded exactly in the checked pass
     rate = _rate_hint(x, cfg)
+    cap = _words_hint(x, cfg, length)
+    bad = None
     if rate > 1:
         from deltarice_tpu.ops.pack_pallas import pack_encode_pallas_bits
 
         enc = lambda a, b: pack_encode_pallas_bits(
-            a, b, cfg.k, max_words, True, None, 2
+            a, b, cfg.k, cap, True, None, rate
         )[:2]
         t_enc = _timeit(enc, xd, nvalid, sync_cost=sync_cost)
         words, nwords, _nb, bad = pack_encode_pallas_bits(
-            xd, nvalid, cfg.k, max_words, True, None, 2
+            xd, nvalid, cfg.k, cap, True, None, rate
         )
-        words = jnp.asarray(_reencode_bad_rows(
-            np.asarray(words), x, np.asarray(nvalid), bad, cfg, max_words
-        ))
     else:
-        enc = lambda a, b: encode_segments(a, b, cfg, max_words, "auto")
+        enc = lambda a, b: encode_segments(a, b, cfg, cap, "auto")
         t_enc = _timeit(enc, xd, nvalid, sync_cost=sync_cost)
         words, nwords = enc(xd, nvalid)
     jax.block_until_ready((words, nwords))
+    nw = np.asarray(nwords)
+    over = nw > cap
+    if bad is not None:
+        over = over | np.asarray(bad)
+    wn = np.asarray(words[:, : min(int(nw.max()) + 1, cap)])
+    if int(nw.max()) + 1 > cap:
+        wn = np.pad(wn, ((0, 0), (0, int(nw.max()) + 1 - cap)))
+    if over.any():
+        wn = _reencode_bad_rows(wn, x, np.asarray(nvalid), over, cfg,
+                                max_words)
 
     # decode exactly as the production reader does: tighter padded width,
     # service rate sized from the per-segment header stats (the real read
     # paths always have counts from the header walk), lag flags fetched
     # once per batch — decompress_batch's async dispatch/collect split —
     # and flagged segments re-decoded exactly in the checked pass below
-    w = int(np.asarray(nwords).max()) + 1
+    w = int(nw.max()) + 1
     w = -(-w // 256) * 256
-    words_in = jnp.asarray(np.asarray(words)[:, :w])
+    words_in = jnp.asarray(
+        np.pad(wn, ((0, 0), (0, max(0, w - wn.shape[1]))))[:, :w]
+    )
     counts = np.asarray(nwords)
     j_eff = _service_hint(counts, np.asarray(nvalid), cfg.k)
     dec = lambda a: _decode_device(a, length, cfg, j_eff)[0]

@@ -165,16 +165,18 @@ def _rate_hint(x: np.ndarray, cfg: RiceConfig,
     """Encode emission rate (samples per staging slot) from a host-side
     subsample — the encode-side mirror of :func:`_service_hint`.
 
-    At rate 2 the pallas encoder stages one slot per sample PAIR (half
-    the staging/placement work); a pair overruns its slot only when its
-    two codewords complete two words, which needs a >= 33-bit span AND
-    an adverse bit phase. The kernel flags overrunning segments and the
-    caller re-encodes them exactly at rate 1 — this hint just keeps the
-    expected flag fraction small. The estimate is a cheap numpy pass on
-    <= 64 rows x 4096 consecutive samples; the phase-averaged
-    double-emit probability per pair is E[max(span-32, 0)]/32.
+    At rate R the pallas encoder stages one slot per R consecutive
+    samples (1/R the staging/placement work); a slot overruns only when
+    its R codewords complete two or more words, which needs a >= 33-bit
+    span AND an adverse bit phase. The kernel flags overrunning
+    segments and the caller re-encodes them exactly at rate 1 — this
+    hint just keeps the expected flag fraction small. The estimate is a
+    cheap numpy pass on <= 64 rows x 4096 consecutive samples; the
+    phase-averaged multi-emit probability per R-span is
+    E[max(span_R - 32, 0)]/32 (spans past 64 bits emit three times and
+    are still counted once — the flag fires either way).
     """
-    if not cfg.is_delta or x.ndim != 2 or x.shape[1] < 4:
+    if not cfg.is_delta or x.ndim != 2 or x.shape[1] < 8:
         return 1
     from .ops.pack_pallas import _is_packed
 
@@ -191,16 +193,54 @@ def _rate_hint(x: np.ndarray, cfg: RiceConfig,
     u = (d << 1) ^ (d >> 31)
     q = u >> cfg.k
     ln = np.minimum(q, 8) + 1 + cfg.k + np.where(q >= 8, 16 - cfg.k, 0)
-    span = ln[:, :-1] + ln[:, 1:]
-    p = float(np.mean(np.clip(span - 32, 0, 32)) / 32.0)
-    # expected flagged-ROW fraction at (encoded row length)/2 pairs
+    cum = np.cumsum(ln, axis=1)
+    # expected flagged-ROW fraction at (encoded row length)/R slots
     # — the flag/re-encode unit is the encoded row, i.e. the
     # sub-stream for split callers;
     # a flagged segment re-encodes once at rate 1, so the break-even
     # is where re-encode cost (~flag_frac of a full pass) eats the
-    # halved placement (~20% of encode) — accept up to ~15%
+    # 1/R placement (~20% of encode) — accept up to ~15%
     enc_len = sub_length if sub_length else x.shape[1]
-    return 2 if p * (enc_len / 2.0) <= 0.15 else 1
+    rate = 1
+    for r in (2, 4):
+        span = cum[:, r:] - cum[:, :-r]
+        p = float(np.mean(np.clip(span - 32, 0, 32)) / 32.0)
+        if p * (enc_len / r) <= 0.15:
+            rate = r
+    return rate
+
+
+def _words_hint(x: np.ndarray, cfg: RiceConfig, length: int) -> int:
+    """Estimated per-segment output word cap (static, bucketed) for the
+    encode placement — the encode-output mirror of :func:`_service_hint`.
+
+    The placement concentration's cost scales with its STATIC output
+    width: the worst-case bound (25 bits/sample) is 4-5x the typical
+    compressed size, so well-matched data pays 4-5x the placement
+    traffic for padding. This caps the width at the subsample's largest
+    per-row rate plus margin; the kernel's word counts are exact
+    regardless of placement width, so rows that overflow the cap are
+    detected for free and re-encoded at the full bound (same
+    speculate/flag/re-do contract as the emission rate and the decode
+    service ladder).
+    """
+    full = cfg.max_words(length)
+    if not cfg.is_delta or x.ndim != 2 or x.shape[1] < 64:
+        return full
+    rows = x[:: max(1, x.shape[0] // 64)][:64]
+    seg = rows[:, : min(rows.shape[1], 4096)].astype(np.int32)
+    d = seg.copy()
+    d[:, 1:] -= seg[:, :-1]
+    d = (d << 16) >> 16
+    u = (d << 1) ^ (d >> 31)
+    q = u >> cfg.k
+    ln = np.minimum(q, 8) + 1 + cfg.k + np.where(q >= 8, 16 - cfg.k, 0)
+    bps = ln.mean(axis=1)  # per-row bits/sample over the subsample
+    # margin: worst subsampled row + 20% + slack for rows outside the
+    # subsample; sampling noise of a 4096-sample mean is tiny next to it
+    est = float(bps.max()) * 1.2 * length / 32.0 + 64.0
+    cap = -(-int(est) // _WORD_BUCKET) * _WORD_BUCKET
+    return min(cap, full)
 
 
 def _reencode_bad_rows(words_np: np.ndarray, x: np.ndarray,
@@ -273,6 +313,37 @@ def _decode_device(words: jnp.ndarray, n_samples: int, cfg: RiceConfig,
     return out, bad
 
 
+def _split_decode_enabled() -> bool:
+    """Speculative split decode (:mod:`.ops.split_decode`) is built,
+    junction-proofed, and byte-exact, but OFF by default: measured on
+    TPU v5e (round 5), its per-sub-block compaction + ragged merge cost
+    more than the serial kernel's under-occupancy it removes (NOPTREX
+    256x500k: 94.6 ms split vs 43.8 ms serial; nEDM 44.8 vs 15.7 —
+    docs/Parallelism.md has the full breakdown). The concentration
+    passes, not the decode chain, are the v5e bottleneck; on hardware
+    (or with a compaction primitive) where that flips, set
+    ``DELTARICE_TPU_SPLIT_DECODE=1``."""
+    import os
+
+    return os.environ.get("DELTARICE_TPU_SPLIT_DECODE", "0") == "1"
+
+
+def _decode_device_split(words: jnp.ndarray, counts, n_samples: int,
+                         cfg: RiceConfig, parts: int, nvalid=None):
+    """Split-decode dispatch (long segments decode as ``parts`` parallel
+    speculative sub-streams; see :mod:`.ops.split_decode`). Returns
+    (samples, per-segment bad flags); flagged segments re-decode exactly
+    via :func:`_redecode_bad_rows`. The generic-FIR inverse runs outside
+    the kernel, as in :func:`_decode_device`."""
+    from .ops.split_decode import unpack_decode_split
+
+    out, bad = unpack_decode_split(words, counts, n_samples, cfg.k,
+                                   cfg.is_delta, parts, nvalid)
+    if not cfg.is_delta:
+        out = prefilter_decode(out, cfg.filt)
+    return out, bad
+
+
 def _redecode_bad_rows(out_np: np.ndarray, bad, words_np: np.ndarray,
                        n_samples: int, cfg: RiceConfig) -> np.ndarray:
     """Exactly re-decode segments the service kernel flagged, in place.
@@ -321,6 +392,22 @@ def decode_segments(words: jnp.ndarray, n_samples: int, cfg: RiceConfig,
         j_eff = None
         if counts is not None and nvalid is not None:
             j_eff = _service_hint(counts, nvalid, cfg.k)
+        if counts is not None and _split_decode_enabled():
+            from .ops.split_decode import decode_split_parts
+
+            parts = decode_split_parts(
+                words.shape[0], int(np.asarray(counts).max(initial=1)),
+                cfg.k, j_eff,
+            )
+            if parts > 1:
+                out, bad = _decode_device_split(words, counts, n_samples,
+                                                cfg, parts, nvalid)
+                if bool(np.asarray(jnp.any(bad))):
+                    out = jnp.asarray(_redecode_bad_rows(
+                        np.asarray(out), bad, np.asarray(words), n_samples,
+                        cfg,
+                    ))
+                return out
         out, bad = _decode_device(words, n_samples, cfg, j_eff)
         if bad is not None and bool(np.asarray(jnp.any(bad))):
             out = jnp.asarray(_redecode_bad_rows(
@@ -419,12 +506,12 @@ def _encode_split_rows(padded2d: np.ndarray, nvalid_rows: np.ndarray,
     if cfg.is_delta:
         xs, nv, p0, ls = _split_layout(padded2d, nvalid_rows, parts)
         mw = cfg.max_words(ls)
-        if rate == 2:
+        if rate > 1:
             from .ops.pack_pallas import pack_encode_pallas_bits
 
             w, nw, nb, bad = pack_encode_pallas_bits(
                 jnp.asarray(xs), jnp.asarray(nv), cfg.k, mw, True,
-                jnp.asarray(p0), 2,
+                jnp.asarray(p0), rate,
             )
             return w, nw, nb, ls, (bad, xs, nv, p0, mw)
         w, nw, nb = encode_segments_bits(
@@ -651,26 +738,35 @@ def compress(data, cfg: RiceConfig = RiceConfig(), method: str = "auto") -> byte
     mw = cfg.max_words(length)
     if method == "auto":
         method = "pallas" if jax.default_backend() == "tpu" else "segsum"
-    if method == "pallas" and _rate_hint(padded, cfg) == 2:
+    rate = _rate_hint(padded, cfg) if method == "pallas" else 1
+    cap = _words_hint(padded, cfg, length) if method == "pallas" else mw
+    if rate > 1:
         from .ops.pack_pallas import pack_encode_pallas_bits
 
         words, nwords, _nb, bad = pack_encode_pallas_bits(
-            jnp.asarray(padded), jnp.asarray(nvalid), cfg.k, mw, True,
-            None, 2,
+            jnp.asarray(padded), jnp.asarray(nvalid), cfg.k, cap, True,
+            None, rate,
         )
-        nw = np.asarray(nwords)
-        w = max(int(nw.max(initial=0)), 1)
-        wn = _reencode_bad_rows(np.asarray(words[:, :w]), padded, nvalid,
-                                bad, cfg, mw)
-        return frame_stream(total, wn, nw)
-    words, nwords = encode_segments(
-        jnp.asarray(padded), jnp.asarray(nvalid), cfg, mw, method
-    )
+        bad = np.asarray(bad)
+    else:
+        words, nwords = encode_segments(
+            jnp.asarray(padded), jnp.asarray(nvalid), cfg, cap, method
+        )
+        bad = None
     # device->host moves ~actual-compressed bytes, not the 25-bit worst
-    # case: fetch the (tiny) word counts first, then slice on device
+    # case: fetch the (tiny, exact) word counts first, then slice on
+    # device; rows past the placement cap re-encode at the full bound
     nw = np.asarray(nwords)
     w = max(int(nw.max(initial=0)), 1)
-    return frame_stream(total, np.asarray(words[:, :w]), nw)
+    wn = np.asarray(words[:, : min(w, cap)])
+    if w > cap:
+        wn = np.pad(wn, ((0, 0), (0, w - cap)))
+    over = nw > cap
+    if bad is not None:
+        over = over | bad
+    if over.any():
+        wn = _reencode_bad_rows(wn, padded, nvalid, over, cfg, mw)
+    return frame_stream(total, wn, nw)
 
 
 def compress_batch(chunks, cfg: RiceConfig = RiceConfig(),
@@ -738,18 +834,21 @@ def compress_batch_dispatch(chunks, cfg: RiceConfig = RiceConfig(),
     m = method
     if m == "auto":
         m = "pallas" if jax.default_backend() == "tpu" else "segsum"
-    if m == "pallas" and _rate_hint(x2, cfg) == 2:
+    rate = _rate_hint(x2, cfg) if m == "pallas" else 1
+    cap = _words_hint(x2, cfg, length) if m == "pallas" else mw
+    if rate > 1:
         from .ops.pack_pallas import pack_encode_pallas_bits
 
         words, nwords, _nb, bad = pack_encode_pallas_bits(
-            jnp.asarray(x2), jnp.asarray(nv), cfg.k, mw, True, None, 2
+            jnp.asarray(x2), jnp.asarray(nv), cfg.k, cap, True, None,
+            rate,
         )
         # bad stays on device until collect — the dispatch never syncs,
         # preserving the window overlap (same contract as decode's lag
         # flags); collect re-encodes flagged rows exactly
         return (arrs, total, words, nwords, None, 1, (bad, x2, nv, mw))
     words, nwords = encode_segments(
-        jnp.asarray(x2), jnp.asarray(nv), cfg, mw, method
+        jnp.asarray(x2), jnp.asarray(nv), cfg, cap, method
     )
     return (arrs, total, words, nwords, None, 1, None)
 
@@ -789,12 +888,29 @@ def compress_batch_collect(handle, cfg: RiceConfig = RiceConfig(),
             frame_stream(total, merged[c], nw[c]) for c in range(nchunks)
         ]
     else:
-        words = np.asarray(words[:, :w])
-        if fix is not None:  # half-rate encode: fix flagged rows exactly
+        # the device words array is only cap wide (placement width hint);
+        # rows past the cap and reduced-rate overflow rows re-encode
+        # exactly at the full bound — both flag sets are already known
+        cap = words.shape[1]
+        wn = np.asarray(words[:, : min(w, cap)])
+        if w > cap:
+            wn = np.pad(wn, ((0, 0), (0, w - cap)))
+        over = nwords > cap
+        if fix is not None:  # reduced-rate encode: add the emit flags
             bad, x2, nv, mw = fix
-            words = _reencode_bad_rows(words, x2, nv, bad, cfg, mw)
+            over = over | np.asarray(bad)
+        if over.any():
+            if fix is None:
+                length = _segment_layout(total, cfg)[1]
+                nvalid = _segment_layout(total, cfg)[2]
+                padded = np.zeros((nchunks, nseg, length), np.int16)
+                padded.reshape(nchunks, -1)[:, :total] = np.stack(arrs)
+                x2 = padded.reshape(nchunks * nseg, length)
+                nv = np.tile(nvalid, nchunks)
+                mw = cfg.max_words(length)
+            wn = _reencode_bad_rows(wn, x2, nv, over, cfg, mw)
         nwords = nwords.reshape(nchunks, nseg)
-        words = words.reshape(nchunks, nseg, -1)
+        words = wn.reshape(nchunks, nseg, -1)
         streams = [
             frame_stream(total, words[c], nwords[c]) for c in range(nchunks)
         ]
@@ -896,13 +1012,27 @@ def decompress_batch_dispatch(streams, cfg: RiceConfig = RiceConfig(),
             words[j] = gather_segments(buf, counts, starts, bucket)
         words2 = words.reshape(-1, bucket)
         if backend == "pallas":
+            from .ops.split_decode import decode_split_parts
+
             counts_all = np.concatenate(
                 [per_chunk[i][1] for i in idxs]
             )
             j_eff = _service_hint(counts_all, np.tile(nvalid, len(idxs)),
                                   cfg.k)
-            dec, bad = _decode_device(jnp.asarray(words2), length, cfg,
-                                      j_eff)
+            parts = 1
+            if _split_decode_enabled():
+                parts = decode_split_parts(
+                    words2.shape[0], int(counts_all.max(initial=1)),
+                    cfg.k, j_eff,
+                )
+            if parts > 1:
+                dec, bad = _decode_device_split(
+                    jnp.asarray(words2), counts_all, length, cfg, parts,
+                    np.tile(nvalid, len(idxs)),
+                )
+            else:
+                dec, bad = _decode_device(jnp.asarray(words2), length,
+                                          cfg, j_eff)
         else:
             dec, bad = _decode_segments_scan(
                 jnp.asarray(words2), length, cfg

@@ -908,6 +908,22 @@ def _concentrate_wide16(values: jnp.ndarray, disp: jnp.ndarray, n_out: int,
     d = disp.astype(jnp.int32)
     val = values.astype(jnp.int32) & 0xFFFF
     p = jnp.where(d >= 0, ((d << 16) | val) ^ _DEAD, _DEAD)
+    out = concentrate_wide16_plane(p, n_out, disp_bound, interpret)
+    if values.dtype == jnp.int16:
+        return ((out << 16) >> 16).astype(jnp.int16)
+    return out.astype(values.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def concentrate_wide16_plane(p: jnp.ndarray, n_out: int, disp_bound: int,
+                             interpret: bool = False):
+    """:func:`_concentrate_wide16` on a PRE-BUILT sign-biased plane
+    ``((disp << 16) | halfword) ^ 2**31`` (dead = INT32_MIN). Callers
+    whose displacement math is elementwise build the plane in one fused
+    XLA pass instead of materializing separate value/disp arrays (the
+    split-decode merge's displacements, for instance, are a per-sub-block
+    constant). Returns (rows, n_out) int32 halfwords (caller casts)."""
+    rows, r = p.shape
     nb = -(-r // _WBLK)
     rowp = -(-rows // 8) * 8
     p = jnp.pad(p, ((0, rowp - rows), (0, nb * _WBLK - r)),
@@ -950,10 +966,7 @@ def _concentrate_wide16(values: jnp.ndarray, disp: jnp.ndarray, n_out: int,
         )(op.reshape(rowp, nb, _WBLK)).reshape(rowp, nb * _WBLK)
     if op.shape[1] < n_out:
         op = jnp.pad(op, ((0, 0), (0, n_out - op.shape[1])))
-    out = op[:rows, :n_out].astype(jnp.int32)
-    if values.dtype == jnp.int16:
-        return ((out << 16) >> 16).astype(jnp.int16)
-    return out.astype(values.dtype)
+    return op[:rows, :n_out].astype(jnp.int32)
 
 
 def _high_kernel(v_ref, d_ref, ov_ref, *, nb: int):

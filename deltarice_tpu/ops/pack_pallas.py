@@ -183,26 +183,30 @@ def _pack_kernel(x_ref, nvalid_ref, prev0_ref, wstage_ref, kstage_ref,
             pos = pos + clen
             emit = pos >= 32
             if packed and rate > 1:
-                # HALF-RATE emission: slot = sample pair. The pair's
-                # word (at most one unless flagged) merges in registers;
-                # the loser of a double-emit is garbage, but the segment
-                # is flagged and re-encoded at rate 1, exactly.
-                disp = ((gidx >> 1) - n) << 16
+                # REDUCED-RATE emission: slot = R consecutive samples.
+                # The slot's word (at most one unless flagged) merges in
+                # registers; a second emit within the slot makes the row
+                # garbage, but the segment is flagged and re-encoded at
+                # rate 1, exactly.
+                shift = rate.bit_length() - 1  # rate is a power of two
+                disp = ((gidx >> shift) - n) << 16
                 wi = ahi.astype(jnp.int32)
                 lead = jnp.where(emit, disp | ((wi >> 16) & 0xFFFF), _DEAD)
                 fol = wi & 0xFFFF
-                if tt % 2 == 0:
+                if tt % rate == 0:
                     pend_lead, pend_fol, pend_emit = lead, fol, emit
                 else:
-                    h = tt // 2
-                    scratch_ref[h * _SB : (h + 1) * _SB, :] = jnp.where(
-                        emit, lead, pend_lead
-                    )
-                    scratch_ref[(_GROUP // 2 + h) * _SB
-                                : (_GROUP // 2 + h + 1) * _SB, :] = (
-                        jnp.where(emit, fol, pend_fol)
-                    )
                     ofl = ofl | (emit & pend_emit).astype(jnp.int32)
+                    pend_lead = jnp.where(emit, lead, pend_lead)
+                    pend_fol = jnp.where(emit, fol, pend_fol)
+                    pend_emit = pend_emit | emit
+                if tt % rate == rate - 1:
+                    h = tt // rate
+                    scratch_ref[h * _SB : (h + 1) * _SB, :] = pend_lead
+                    scratch_ref[(_GROUP // rate + h) * _SB
+                                : (_GROUP // rate + h + 1) * _SB, :] = (
+                        pend_fol
+                    )
             elif packed:
                 # leader plane: disp + high halfword; follower plane:
                 # pure low halfword (the concentration routes it by the
@@ -353,8 +357,12 @@ def _encode_kernel_program(x: jnp.ndarray, nvalid: jnp.ndarray, k: int,
     blocks = -(-nseg // bseg)
     sc = _CHUNK
     # always leave >= 1 inactive slot so the tail flush has a home at
-    # the tail slot (adds one whole chunk when length is chunk-aligned)
+    # the tail slot (adds one whole chunk when length is chunk-aligned;
+    # at rate > 1 the tail SLOT covers rate samples, so lengths within
+    # rate-1 of a chunk boundary need the extra chunk too)
     n_chunks = length // sc + 1
+    if rate * (-(-length // rate)) >= n_chunks * sc:
+        n_chunks += 1
     lp = n_chunks * sc
     packed = _is_packed(length)
     if rate > 1:

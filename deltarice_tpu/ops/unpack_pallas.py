@@ -141,9 +141,14 @@ def _decode_one(w0, w1, pos, k: int):
     p = (pos & 31).astype(_U32)
     win = (w0 << p) | ((w1 >> (_U32(31) - p)) >> 1)
     top8 = win >> _U32(24)
-    q = jnp.zeros(pos.shape, jnp.int32)
-    for b in range(8):
-        q = q + (top8 < _U32(1 << b)).astype(jnp.int32)
+    # leading-zero count of the 8-bit window head via the f32 exponent:
+    # top8 in [1, 255] converts exactly, so floor(log2) = biased_exp - 127
+    # and q = 7 - floor(log2); top8 == 0 maps past 8 and clamps. Replaces
+    # an 8-compare unary count (~16 VPU ops) with 5 on the decode kernels'
+    # critical path.
+    f = top8.astype(jnp.int32).astype(jnp.float32)  # Mosaic: no u32->f32
+    exp = jax.lax.bitcast_convert_type(f, jnp.int32) >> 23
+    q = jnp.minimum(134 - exp, 8)
     esc = q == 8
     rsh = (jnp.int32(31 - k) - q).astype(_U32) & _U32(31)
     rbits = (win >> rsh) & _U32((1 << k) - 1)

@@ -120,9 +120,11 @@ def test_split_adversarial_never_sync_flags():
 
 
 @tpu_only
-def test_split_adversarial_recovers_through_decompress():
-    # end to end: the flagged segments re-decode exactly, so decompress
-    # is still byte-correct on the adversarial stream
+def test_split_adversarial_recovers_through_decompress(monkeypatch):
+    # end to end with the router force-enabled: the flagged segments
+    # re-decode exactly, so decompress is byte-correct even on the
+    # adversarial stream
+    monkeypatch.setenv("DELTARICE_TPU_SPLIT_DECODE", "1")
     x = _never_sync_data(2, 120000)
     cfg = RiceConfig(2, 120000)
     blob = compress(x, cfg, method="segsum")

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import ctypes
 import json
+import sys
 import time
 from pathlib import Path
 
@@ -273,6 +274,11 @@ def _run_geometry(geom: str, mb: float, iters: int, base: Path) -> dict:
         "write_MBps": round(w, 1), "read_MBps": round(r, 1),
         "ratio": round(stored / x.nbytes, 3),
     }
+    import jax
+
+    if jax.default_backend() == "tpu":
+        results["projected_production"] = _projected(base, geom, x, cfg,
+                                                     chunk_rows, iters)
     with _OurFilter():
         w, r, stored = _time_pipeline(base / f"ours_{geom}.h5", x,
                                       (8, length), iters, chunk_rows)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from deltarice_tpu.codec import (
     _decode_device,
     _rate_hint,
+    _words_hint,
     _redecode_bad_rows,
     _reencode_bad_rows,
     _service_hint,
@@ -116,23 +117,36 @@ def bench_config(name: str, x: np.ndarray, cfg: RiceConfig, iters: int,
         nvalid = jnp.full((nseg,), length, dtype=jnp.int32)
         max_words = cfg.max_words(length)
         rate = _rate_hint(x, cfg)
-        if rate == 2:  # production write path: half-rate + flag fix
+        cap = _words_hint(x, cfg, length)
+        bad = None
+        if rate > 1:  # production write path: reduced rate + flag fix
             from deltarice_tpu.ops.pack_pallas import (
                 pack_encode_pallas_bits)
 
             enc = lambda: pack_encode_pallas_bits(
-                xd, nvalid, cfg.k, max_words, True, None, 2)[:2]
+                xd, nvalid, cfg.k, cap, True, None, rate)[:2]
             t_enc = _timeit(enc, iters=iters, sync_cost=sync_cost)
             words, nwords, _nb, bad = pack_encode_pallas_bits(
-                xd, nvalid, cfg.k, max_words, True, None, 2)
-            words = jnp.asarray(_reencode_bad_rows(
-                np.asarray(words), x, np.full(nseg, length, np.int32),
-                bad, cfg, max_words))
+                xd, nvalid, cfg.k, cap, True, None, rate)
         else:
-            enc = lambda: encode_segments(xd, nvalid, cfg, max_words,
+            enc = lambda: encode_segments(xd, nvalid, cfg, cap,
                                           "pallas")
             t_enc = _timeit(enc, iters=iters, sync_cost=sync_cost)
             words, nwords = enc()
+        # placement-cap overflow + reduced-rate flags: exact re-encode,
+        # exactly as compress_batch_collect does
+        nwn = np.asarray(nwords)
+        over = nwn > cap
+        if bad is not None:
+            over = over | np.asarray(bad)
+        if over.any():
+            wn = np.asarray(words[:, : min(int(nwn.max()) + 1, cap)])
+            if int(nwn.max()) + 1 > cap:
+                wn = np.pad(wn, ((0, 0),
+                                 (0, int(nwn.max()) + 1 - cap)))
+            words = jnp.asarray(_reencode_bad_rows(
+                wn, x, np.full(nseg, length, np.int32), over, cfg,
+                max_words))
     nvalid = np.full((nseg,), length, dtype=np.int32)
     counts = np.asarray(nwords)
     w = int(counts.max()) + 1
@@ -148,9 +162,25 @@ def bench_config(name: str, x: np.ndarray, cfg: RiceConfig, iters: int,
     # lag flags once per window, amortized like _timeit's single sync —
     # and the flagged-segment re-decode runs after, in the checked pass.
     j_eff = _service_hint(counts, nvalid, cfg.k)
-    dec = lambda: _decode_device(wd, length, cfg, j_eff)[0]
-    t_dec = _timeit(dec, iters=iters, sync_cost=sync_cost)
-    out_d, bad = _decode_device(wd, length, cfg, j_eff)
+    from deltarice_tpu.codec import (_decode_device_split,
+                                     _split_decode_enabled)
+    from deltarice_tpu.ops.split_decode import decode_split_parts
+
+    sparts = 1
+    if _split_decode_enabled():
+        sparts = decode_split_parts(nseg, int(counts.max()), cfg.k, j_eff)
+    if sparts > 1:
+        # long segments: production reads decode as sparts speculative
+        # sub-streams per segment (junction-checked; see split_decode)
+        dec = lambda: _decode_device_split(wd, counts, length, cfg,
+                                           sparts, nvalid)[0]
+        t_dec = _timeit(dec, iters=iters, sync_cost=sync_cost)
+        out_d, bad = _decode_device_split(wd, counts, length, cfg,
+                                          sparts, nvalid)
+    else:
+        dec = lambda: _decode_device(wd, length, cfg, j_eff)[0]
+        t_dec = _timeit(dec, iters=iters, sync_cost=sync_cost)
+        out_d, bad = _decode_device(wd, length, cfg, j_eff)
     out = _redecode_bad_rows(np.asarray(out_d), bad, np.asarray(wd),
                              length, cfg)
     assert np.array_equal(out, x), f"{name}: round-trip failed"
@@ -169,7 +199,10 @@ def bench_config(name: str, x: np.ndarray, cfg: RiceConfig, iters: int,
     if parts > 1:
         row["split_parts"] = parts
         row["merge_ms"] = round(merge_ms, 2)
-    if j_eff is not None:
+    if sparts > 1:
+        row["decode_split_parts"] = sparts
+        row["decode_flagged"] = int(np.asarray(bad).sum())
+    elif j_eff is not None:
         row["decode_service_j"] = j_eff
     return row
 
