@@ -1099,12 +1099,36 @@ def as_int16(data) -> np.ndarray:
 
 
 def frame_stream(total: int, words: np.ndarray, nwords: np.ndarray) -> bytes:
-    """Assemble the framed chunk from padded per-segment words (host side)."""
-    counts = nwords.astype(np.int64)
+    """Assemble the framed chunk from padded per-segment words (host side).
+
+    Runs in the native C library (OpenMP memcpy per segment — the
+    analog of the reference's serial compaction, ``src/deltaRice.c:
+    427-432``) when built; the numpy fallback's fancy-index scatter
+    costs ~6x more on the same cores and dominated the projected file
+    WRITE path before the native routine existed."""
+    counts = np.ascontiguousarray(nwords, dtype=np.int64)
     nseg = counts.shape[0]
     word_start = np.zeros(nseg + 1, dtype=np.int64)
     np.cumsum(counts, out=word_start[1:])
     total_words = int(word_start[-1])
+    from .native import codec_lib
+
+    lib = codec_lib()
+    if (lib is not None and hasattr(lib, "dr_frame_rows")
+            and words.shape[1] >= int(counts.max(initial=0))):
+        # fill a bytearray-backed view directly: returning it (a
+        # bytes-like callers hash/compare/write identically) skips the
+        # whole-stream tobytes() copy
+        raw = bytearray(4 * (1 + nseg + total_words))
+        out = np.frombuffer(raw, dtype="<u4")
+        offsets = 1 + np.arange(nseg, dtype=np.int64) + word_start[:-1]
+        words = np.ascontiguousarray(words, dtype=np.uint32)
+        lib.dr_frame_rows(
+            words.ctypes.data, nseg, words.shape[1],
+            counts.ctypes.data, offsets.ctypes.data, total,
+            out.ctypes.data,
+        )
+        return bytes(raw) if nseg < 1024 else raw
     out = np.empty(1 + nseg + total_words, dtype="<u4")
     out[0] = total
     pos = 1 + np.arange(nseg, dtype=np.int64) + word_start[:-1]

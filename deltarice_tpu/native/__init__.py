@@ -27,7 +27,18 @@ def library_path() -> Path:
 
 
 def is_built() -> bool:
-    return library_path().is_file()
+    """True when the library exists and is no older than its sources
+    (a stale build would load without newly added exports and silently
+    disable every native helper — see :func:`codec_lib`)."""
+    lib = library_path()
+    if not lib.is_file():
+        return False
+    try:
+        built = lib.stat().st_mtime
+        src = Path(__file__).parent / "src"
+        return all(built >= p.stat().st_mtime for p in src.glob("*.[ch]"))
+    except OSError:
+        return True  # unreadable source tree (installed wheel): trust it
 
 
 def build(verbose: bool = False) -> Path:
@@ -63,6 +74,12 @@ def codec_lib() -> "ctypes.CDLL | None":
                 lib.dr_merge_substreams.argtypes = [
                     ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
                     ctypes.c_size_t, ctypes.c_void_p, ctypes.c_size_t,
+                    ctypes.c_void_p,
+                ]
+                lib.dr_frame_rows.restype = None
+                lib.dr_frame_rows.argtypes = [
+                    ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
                     ctypes.c_void_p,
                 ]
             except (OSError, AttributeError):

