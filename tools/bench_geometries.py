@@ -83,16 +83,16 @@ def bench_config(name: str, x: np.ndarray, cfg: RiceConfig, iters: int,
         xd, nvd, p0d = jnp.asarray(xs), jnp.asarray(nv), jnp.asarray(p0)
         mw = cfg.max_words(ls)
         rate = _rate_hint(x, cfg, ls)
-        if rate == 2:
+        if rate > 1:
             from deltarice_tpu.codec import _reencode_bad_rows_device
             from deltarice_tpu.ops.pack_pallas import (
                 pack_encode_pallas_bits)
 
             enc_d = lambda: pack_encode_pallas_bits(
-                xd, nvd, cfg.k, mw, True, p0d, 2)[:3]
+                xd, nvd, cfg.k, mw, True, p0d, rate)[:3]
             t_enc = _timeit(enc_d, iters=iters, sync_cost=sync_cost)
             wsub, nwsub, nbits, bad = pack_encode_pallas_bits(
-                xd, nvd, cfg.k, mw, True, p0d, 2)
+                xd, nvd, cfg.k, mw, True, p0d, rate)
             wsub = _reencode_bad_rows_device(wsub, xs, nv, bad, cfg, mw,
                                              p0)
         else:
