@@ -298,11 +298,42 @@ def _reencode_bad_rows_device(words, xs: np.ndarray, nv: np.ndarray,
 
 def _decode_device(words: jnp.ndarray, n_samples: int, cfg: RiceConfig,
                    j_eff: int | None, speculate: bool = True):
-    """One device decode dispatch; returns (samples, per-segment bad flags
-    or None). ``j_eff`` below the static bound enables the reduced-service
-    kernel, and ``speculate`` the clamped-displacement wide16 compaction;
-    both flag affected segments for exact re-decode
-    (:func:`_redecode_bad_rows`, which runs with both disabled)."""
+    """Device decode; returns (samples, per-segment bad flags or None).
+
+    ``j_eff`` below the static bound enables the reduced-service kernel,
+    and ``speculate`` the clamped-displacement wide16 compaction; both
+    flag affected segments for exact re-decode
+    (:func:`_redecode_bad_rows`, which runs with both disabled).
+
+    Batches beyond two 1024-lane blocks dispatch as consecutive
+    <=2048-row slices (all queued asynchronously — the dispatch/collect
+    contract is unchanged): measured on v5e, multi-block decode grids
+    schedule worse than back-to-back smaller programs (a 2048-row
+    dispatch ran 18% slower than two 1024-row ones in a quiet window,
+    and the gap grows with block count: 8192 rows decoded at 17.9 vs
+    ~24-28 GB/s), but every extra dispatch also pays the dev relay's
+    submission cost (0.3-3 ms with relay load), so the slice stays at
+    two blocks rather than one.
+    """
+    rows = words.shape[0]
+    if rows > 2 * _LANE_TARGET:
+        outs, bads = [], []
+        for i in range(0, rows, 2 * _LANE_TARGET):
+            o, b = _decode_device(words[i : i + 2 * _LANE_TARGET],
+                                  n_samples, cfg, j_eff, speculate)
+            outs.append(o)
+            bads.append(b)
+        out = jnp.concatenate(outs, axis=0)
+        if all(b is None for b in bads):
+            bad = None
+        else:
+            # a short remainder slice can route through a different
+            # (exact) kernel family and return no flags — align it
+            bad = jnp.concatenate([
+                jnp.zeros((o.shape[0],), bool) if b is None else b
+                for o, b in zip(outs, bads)
+            ], axis=0)
+        return out, bad
     res = unpack_decode_pallas(
         words, n_samples, cfg.k, cfg.is_delta, False,
         j_eff, speculate,
