@@ -53,7 +53,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .unpack_pallas import _GROUP, _LANES, _decode_one, codewords_per_word
 
-_U32 = jnp.uint32
 _SB = 8          # split rows always fill the full (8, 128) vreg
 _DEAD = -(1 << 31)
 _HALO_MAX = 64   # upper bound on the speculative warm-up window

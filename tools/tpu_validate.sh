@@ -32,7 +32,13 @@ print('tpu ok:', d)
 " || exit 1
 
 # 1. fast test tier (golden byte-exactness + kernels; first compiles
-#    populate the persistent cache)
+#    populate the persistent cache). Round-5 lesson: monolithic suite
+#    runs can wedge the dev relay server-side for 20-40 min under their
+#    compile storm (the process freezes on a futex with zero CPU) —
+#    when that happens, kill the EXACT pytest pid, wait for a trivial
+#    device probe to answer again, and re-run per test FILE so each
+#    process session stays short (see /tmp-style chunking in the round-5
+#    TPU_VALIDATE artifact).
 TMO=3000 run fast_tests python -m pytest tests/ -x -q -m "not slow"
 
 # 2. flagship bench + perf-regression gate: >10% drop vs the last
